@@ -1,0 +1,194 @@
+"""Scene data model: SoA pytrees resident in device HBM + static host metadata.
+
+The reference keeps the scene in host std::vectors mirrored bit-for-bit into
+OpenCL buffers (/root/reference/Object.h:6-22, /root/reference/main.cpp:33-55).
+The TPU-native equivalent is a structure-of-arrays pytree `device_put` once
+into HBM; static quantities that shape the compiled program (object count,
+types, which objects are meshes) live in `SceneMeta`, a plain-Python object
+captured by closure at trace time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+SPHERE = 0
+CUBE = 1
+MESH = 2
+
+
+class ObjectsSoA(NamedTuple):
+    """Per-object arrays, leading dim = number of objects O.
+
+    Mirrors struct Object (/root/reference/Object.h:6-22) as SoA. The
+    frame-dependent fields (lorentz, inv_lorentz, stationary_cam) are NOT
+    stored here: they are recomputed inside the jitted frame step from
+    `velocity` and the camera state (see render.object_frames), replacing the
+    reference's per-frame host recompute + buffer upload
+    (/root/reference/Render.cpp:179-203).
+    """
+
+    m: jnp.ndarray  # (O, 4, 4) model matrix
+    inv_m: jnp.ndarray  # (O, 4, 4)
+    velocity: jnp.ndarray  # (O, 3) 3-velocity in units of c
+    color: jnp.ndarray  # (O, 3)
+    obj_type: jnp.ndarray  # (O,) int32: SPHERE/CUBE/MESH
+    mesh_root: jnp.ndarray  # (O,) int32 octree root node index (-1 if not mesh)
+    tex_offset: jnp.ndarray  # (O,) int32 byte offset into atlas (-1 if none)
+    tex_w: jnp.ndarray  # (O,) int32
+    tex_h: jnp.ndarray  # (O,) int32
+    light: jnp.ndarray  # (O,) bool
+    flash_period: jnp.ndarray  # (O,) f32
+    flash_duration: jnp.ndarray  # (O,) f32
+
+
+class MeshArrays(NamedTuple):
+    """All meshes aggregated into shared flat pools, like the reference's
+    single global Mesh (/root/reference/Mesh.h:5-16)."""
+
+    vertices: jnp.ndarray  # (V, 3) f32
+    tri_v: jnp.ndarray  # (T, 3) int32 vertex indices
+    tri_uv: jnp.ndarray  # (T, 3) int32 uv indices
+    tri_n: jnp.ndarray  # (T, 3) int32 normal indices
+    uvs: jnp.ndarray  # (U, 2) f32
+    normals: jnp.ndarray  # (NN, 3) f32
+    # Flattened octree SoA (/root/reference/Octree.h:4-12)
+    node_min: jnp.ndarray  # (Q, 3) f32
+    node_max: jnp.ndarray  # (Q, 3) f32
+    node_tris_index: jnp.ndarray  # (Q,) int32 into oct_tris
+    node_tris_count: jnp.ndarray  # (Q,) int32
+    node_children: jnp.ndarray  # (Q, 8) int32, -1 = leaf
+    node_neighbors: jnp.ndarray  # (Q, 6) int32, -1 = outside
+    oct_tris: jnp.ndarray  # (P,) int32 triangle-pool indices
+
+
+class Scene(NamedTuple):
+    objects: ObjectsSoA
+    mesh: MeshArrays
+    textures: jnp.ndarray  # (B,) uint8 interleaved-RGB atlas
+    white_point: jnp.ndarray  # (3,) f32
+    ambient: jnp.ndarray  # () f32
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneMeta:
+    """Static (trace-time) facts about the scene. Hashable so renderers can be
+    cached per scene shape."""
+
+    num_objects: int
+    sphere_ids: tuple  # indices of SPHERE objects
+    cube_ids: tuple  # indices of CUBE objects
+    mesh_ids: tuple  # indices of MESH objects
+    mesh_roots: tuple  # octree root node index per mesh object (same order)
+    mesh_tri_ranges: tuple  # (start, end) triangle-pool range per mesh object
+    light_ids: tuple  # indices of objects with light=True
+    default_interval: int  # -1 normally, 0 if the scene contains the I command
+    num_tris: int
+    num_nodes: int
+    max_octree_depth: int
+
+
+def _f32(x):
+    return jnp.asarray(np.asarray(x, np.float32))
+
+
+def _i32(x):
+    return jnp.asarray(np.asarray(x, np.int32))
+
+
+def build_scene(host) -> tuple[Scene, SceneMeta]:
+    """Convert a parsed HostScene (models.dsl) into device arrays + meta."""
+    o = host.objects
+    num = len(o)
+
+    def stack(attr, default, shape):
+        if num == 0:
+            return np.zeros((0, *shape), np.float32)
+        return np.stack([np.asarray(getattr(ob, attr), np.float32).reshape(shape) for ob in o])
+
+    m = stack("m", None, (4, 4))
+    inv_m = stack("inv_m", None, (4, 4))
+    velocity = stack("velocity", None, (3,))
+    color = stack("color", None, (3,))
+    types = np.array([ob.obj_type for ob in o], np.int32)
+    mesh_root = np.array([ob.mesh_root for ob in o], np.int32)
+    tex_offset = np.array([ob.tex_offset for ob in o], np.int32)
+    tex_w = np.array([ob.tex_w for ob in o], np.int32)
+    tex_h = np.array([ob.tex_h for ob in o], np.int32)
+    light = np.array([ob.light for ob in o], bool)
+    flash_period = np.array([ob.flash_period for ob in o], np.float32)
+    flash_duration = np.array([ob.flash_duration for ob in o], np.float32)
+
+    objects = ObjectsSoA(
+        m=_f32(m), inv_m=_f32(inv_m), velocity=_f32(velocity), color=_f32(color),
+        obj_type=_i32(types), mesh_root=_i32(mesh_root), tex_offset=_i32(tex_offset),
+        tex_w=_i32(tex_w), tex_h=_i32(tex_h), light=jnp.asarray(light),
+        flash_period=_f32(flash_period), flash_duration=_f32(flash_duration),
+    )
+
+    msh = host.mesh
+    # Guarantee non-empty gatherable pools (XLA dislikes 0-sized gathers).
+    verts = np.asarray(msh.vertices, np.float32).reshape(-1, 3) if len(msh.vertices) else np.zeros((1, 3), np.float32)
+    tris = np.asarray(msh.triangles, np.int32).reshape(-1, 9) if len(msh.triangles) else np.zeros((0, 9), np.int32)
+    uvs = np.asarray(msh.uvs, np.float32).reshape(-1, 2) if len(msh.uvs) else np.zeros((1, 2), np.float32)
+    normals = np.asarray(msh.normals, np.float32).reshape(-1, 3) if len(msh.normals) else np.zeros((1, 3), np.float32)
+
+    oct = msh.octree
+    q = len(oct.node_min) if oct is not None and len(oct.node_min) else 0
+    if q:
+        node_min = np.asarray(oct.node_min, np.float32)
+        node_max = np.asarray(oct.node_max, np.float32)
+        node_tris_index = np.asarray(oct.node_tris_index, np.int32)
+        node_tris_count = np.asarray(oct.node_tris_count, np.int32)
+        node_children = np.asarray(oct.node_children, np.int32)
+        node_neighbors = np.asarray(oct.node_neighbors, np.int32)
+        oct_tris = np.asarray(oct.oct_tris, np.int32) if len(oct.oct_tris) else np.zeros((1,), np.int32)
+    else:
+        node_min = np.zeros((1, 3), np.float32)
+        node_max = np.zeros((1, 3), np.float32)
+        node_tris_index = np.zeros((1,), np.int32)
+        node_tris_count = np.zeros((1,), np.int32)
+        node_children = -np.ones((1, 8), np.int32)
+        node_neighbors = -np.ones((1, 6), np.int32)
+        oct_tris = np.zeros((1,), np.int32)
+
+    mesh = MeshArrays(
+        vertices=_f32(verts),
+        tri_v=_i32(tris[:, 0::3]) if len(tris) else _i32(np.zeros((1, 3), np.int32)),
+        tri_uv=_i32(tris[:, 1::3]) if len(tris) else _i32(np.zeros((1, 3), np.int32)),
+        tri_n=_i32(tris[:, 2::3]) if len(tris) else _i32(np.zeros((1, 3), np.int32)),
+        uvs=_f32(uvs), normals=_f32(normals),
+        node_min=_f32(node_min), node_max=_f32(node_max),
+        node_tris_index=_i32(node_tris_index), node_tris_count=_i32(node_tris_count),
+        node_children=_i32(node_children), node_neighbors=_i32(node_neighbors),
+        oct_tris=_i32(oct_tris),
+    )
+
+    textures = jnp.asarray(
+        np.asarray(host.textures, np.uint8) if len(host.textures) else np.zeros((4,), np.uint8)
+    )
+
+    scene = Scene(
+        objects=objects, mesh=mesh, textures=textures,
+        white_point=_f32(host.white_point), ambient=jnp.float32(host.ambient),
+    )
+
+    mesh_ids = tuple(int(i) for i in np.nonzero(types == MESH)[0])
+    meta = SceneMeta(
+        num_objects=num,
+        sphere_ids=tuple(int(i) for i in np.nonzero(types == SPHERE)[0]),
+        cube_ids=tuple(int(i) for i in np.nonzero(types == CUBE)[0]),
+        mesh_ids=mesh_ids,
+        mesh_roots=tuple(int(mesh_root[i]) for i in mesh_ids),
+        mesh_tri_ranges=tuple(host.mesh.root_tri_ranges.get(int(mesh_root[i]), (0, len(tris))) for i in mesh_ids),
+        light_ids=tuple(int(i) for i in np.nonzero(light)[0]),
+        default_interval=int(host.default_interval),
+        num_tris=int(len(tris)),
+        num_nodes=int(q) if q else 1,
+        max_octree_depth=int(getattr(oct, "max_depth", 0) if oct is not None else 0),
+    )
+    return scene, meta

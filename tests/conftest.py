@@ -1,0 +1,22 @@
+"""Test harness config: force the CPU backend with 8 virtual devices so unit
+and sharding tests run anywhere (the TPU chip is reserved for bench runs)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_ROOT = pathlib.Path(os.environ.get("REF_ASSETS", "/root/reference"))
+
+
+@pytest.fixture(scope="session")
+def reference_root():
+    if not REFERENCE_ROOT.exists():
+        pytest.skip("reference asset tree not available")
+    return REFERENCE_ROOT
