@@ -101,7 +101,8 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=2048,
         def chunk_step(carry, xs):
             best_t, best_u, best_v, best_tri = carry
             cst, ctt, tvalid, base = xs
-            prods = jnp.einsum("nk,fkt->fnt", dh_blk, cst, precision=_PREC)
+            # cst layout is [component k, factor f, tri t]
+            prods = jnp.einsum("nk,kft->fnt", dh_blk, cst, precision=_PREC)
             det, u_num, v_num = prods[0], prods[1], prods[2]  # (n, Tc)
             inv_det = 1.0 / det
             u = u_num * inv_det
