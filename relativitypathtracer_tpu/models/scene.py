@@ -70,6 +70,7 @@ class Scene(NamedTuple):
     objects: ObjectsSoA
     mesh: MeshArrays
     textures: jnp.ndarray  # (B,) uint8 interleaved-RGB atlas
+    textures_packed: jnp.ndarray  # (B/3,) uint32 R|G<<8|B<<16 (gather-cheap)
     white_point: jnp.ndarray  # (3,) f32
     ambient: jnp.ndarray  # () f32
 
@@ -168,12 +169,16 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
         oct_tris=_i32(oct_tris),
     )
 
-    textures = jnp.asarray(
-        np.asarray(host.textures, np.uint8) if len(host.textures) else np.zeros((4,), np.uint8)
+    tex_np = np.frombuffer(bytes(host.textures), np.uint8) if len(host.textures) else np.zeros((3,), np.uint8)
+    textures = jnp.asarray(tex_np)
+    packed = (
+        tex_np[0::3].astype(np.uint32)
+        | (tex_np[1::3].astype(np.uint32) << 8)
+        | (tex_np[2::3].astype(np.uint32) << 16)
     )
-
     scene = Scene(
         objects=objects, mesh=mesh, textures=textures,
+        textures_packed=jnp.asarray(packed),
         white_point=_f32(host.white_point), ambient=jnp.float32(host.ambient),
     )
 

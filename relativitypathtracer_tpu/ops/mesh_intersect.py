@@ -2,25 +2,28 @@
 
 The reference walks a stackless octree per pixel with a divergent while-loop
 (/root/reference/opencl_kernel.cl:200-308). On TPU the FLOPs want to live in
-big dense matmuls, so the primary formulation here factors Moller-Trumbore
+big dense matmuls, so the formulation here factors Moller-Trumbore
 (/root/reference/opencl_kernel.cl:106-126) into per-triangle constants and a
-single ray-matrix product:
+single triangle-matrix x ray-matrix product:
 
 * Shared-origin rays (all primary rays of one object share origin
   `stationaryCam`): with tvec = o - A constant per triangle,
-      det   = d . cross(e2, e1)
-      u_num = d . cross(e2, o - A)
-      v_num = d . qvec,  qvec = (o - A) x e1      (per-triangle constant)
+      det   = cross(e2, e1) . d
+      u_num = cross(e2, o - A) . d
+      v_num = qvec . d,   qvec = (o - A) x e1     (per-triangle constant)
       t_num = e2 . qvec                            (per-triangle scalar)
-  so the whole test is one (N,3) @ (3,3T) matmul plus elementwise masking.
+  so the whole test is one (3T, 3) @ (3, N) matmul plus elementwise masking.
 
 * General rays (per-pixel shadow-ray origins): lift each ray to the 10-vector
   r = [d, m, o, 1] with moment m = cross(o, d); then det/u_num/v_num/t_num are
-  all linear in r, i.e. one (N,10) @ (10,4T) matmul (Plucker-style).
+  all linear in r, i.e. one (4T, 10) @ (10, N) matmul (Plucker-style).
 
-Both paths stream triangle chunks with a running best-hit reduce so the (N,T)
-intermediates never hit HBM at full size. Semantics (epsilon test on det,
-backface hits allowed, u/v/t acceptance order) match the reference.
+LAYOUT: rays on the LAST axis everywhere -- directions (3, N), origins (3,)
+or (3, N) -- so the minor dimension maps onto the TPU's 128 lanes.
+
+Both paths stream triangle chunks with a running best-hit reduce. Semantics
+(epsilon test on det, backface hits allowed, u/v/t acceptance order) match
+the reference.
 """
 
 from __future__ import annotations
@@ -28,14 +31,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .relmath import (
-    cross3,
-    dot3,
-    normalize3,
-    transform_dir3,
-    transform_normal3,
-    transform_point3,
-)
+from .intersect import apply_affine3, apply_linear3, apply_normal3, norm3, normalize3
 
 EPSILON = 1e-7
 INF = 1e20
@@ -43,200 +39,252 @@ INF = 1e20
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _tri_vertices(mesh, tri_lo: int, tri_hi: int):
-    tv = mesh.tri_v[tri_lo:tri_hi]
-    A = mesh.vertices[tv[:, 0]]
-    B = mesh.vertices[tv[:, 1]]
-    C = mesh.vertices[tv[:, 2]]
-    return A, B, C
+def _cross_cols(a, b):
+    """Cross product over the LAST axis for (T, 3) row-vectors."""
+    return jnp.stack(
+        [
+            a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
+            a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
+            a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0],
+        ],
+        axis=-1,
+    )
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=2048, ray_block=16384):
-    """Nearest-hit of rays with shared origin against triangles [lo, hi).
+def shared_origin_constants(mesh, tri_range, ro):
+    """Per-triangle constant matrix for the shared-origin factorization.
 
-    o3: (3,) rest-frame spatial origin; d3: (N, 3) rest-frame spatial dirs
-    (not normalized - the Lorentz boost scales them).
-    Returns (t, normal, uv, valid): t is the 4D ray parameter, converted via
-    world-space distance like intersect_octree (opencl_kernel.cl:301-303);
-    normal/uv are barycentric-interpolated vertex attributes.
+    ro: (3,) object-space origin. Returns (consts (3T_pad, 3), c_t (T_pad,),
+    T, T_pad) with T_pad rounded up to 128; padding rows are zero (det == 0
+    -> auto-masked by the epsilon test).
     """
     lo, hi = int(tri_range[0]), int(tri_range[1])
     T = hi - lo
-    if T == 0:
-        n = d3.shape[0]
-        return (jnp.full((n,), INF), jnp.zeros((n, 3)), jnp.zeros((n, 2)),
-                jnp.zeros((n,), bool))
-
-    ro = transform_point3(inv_m, o3)  # (3,)
-    d = transform_dir3(inv_m, d3)  # (N, 3)
-    scale = jnp.linalg.norm(d, axis=-1)
-    dh = d / scale[..., None]
-
-    A, B, C = _tri_vertices(mesh, lo, hi)
+    tv = mesh.tri_v[lo:hi]
+    A = mesh.vertices[tv[:, 0]]
+    B = mesh.vertices[tv[:, 1]]
+    C = mesh.vertices[tv[:, 2]]
     e1 = B - A
     e2 = C - A
-    qvec = cross3(ro - A, e1)  # (T, 3)
-    c_det = cross3(e2, e1)
-    c_u = cross3(e2, ro - A)
-    c_t = dot3(e2, qvec)  # (T,)
+    qvec = _cross_cols(ro[None, :] - A, e1)
+    c_det = _cross_cols(e2, e1)
+    c_u = _cross_cols(e2, ro[None, :] - A)
+    c_t = jnp.sum(e2 * qvec, axis=-1)
 
-    # (3, 3T) constant matrix: one matmul yields det/u_num/v_num per triangle.
-    const = jnp.concatenate([c_det, c_u, qvec], axis=0).T  # (3, 3T)
-
-    Tc = min(tri_chunk, _round_up(T, 128))
-    n_chunks = -(-T // Tc)
-    pad_T = n_chunks * Tc
-    const_chunks = jnp.pad(const.reshape(3, 3, T), ((0, 0), (0, 0), (0, pad_T - T)),
-                           constant_values=0.0).reshape(3, 3, n_chunks, Tc)
-    c_t_chunks = jnp.pad(c_t, (0, pad_T - T), constant_values=0.0).reshape(n_chunks, Tc)
-    tri_valid = (jnp.arange(pad_T) < T).reshape(n_chunks, Tc)
-
-    def best_for_rays(dh_blk):
-        n = dh_blk.shape[0]
-
-        def chunk_step(carry, xs):
-            best_t, best_u, best_v, best_tri = carry
-            cst, ctt, tvalid, base = xs
-            # cst layout is [component k, factor f, tri t]
-            prods = jnp.einsum("nk,kft->fnt", dh_blk, cst, precision=_PREC)
-            det, u_num, v_num = prods[0], prods[1], prods[2]  # (n, Tc)
-            inv_det = 1.0 / det
-            u = u_num * inv_det
-            v = v_num * inv_det
-            dist = ctt[None, :] * inv_det
-            ok = (jnp.abs(det) >= EPSILON) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
-                & (u + v <= 1.0) & (dist >= 0.0) & tvalid[None, :]
-            dist = jnp.where(ok, dist, INF)
-            idx = jnp.argmin(dist, axis=1)  # (n,)
-            dmin = jnp.take_along_axis(dist, idx[:, None], axis=1)[:, 0]
-            umin = jnp.take_along_axis(u, idx[:, None], axis=1)[:, 0]
-            vmin = jnp.take_along_axis(v, idx[:, None], axis=1)[:, 0]
-            better = dmin < best_t
-            return (
-                jnp.where(better, dmin, best_t),
-                jnp.where(better, umin, best_u),
-                jnp.where(better, vmin, best_v),
-                jnp.where(better, base + idx, best_tri),
-            ), None
-
-        init = (jnp.full((n,), INF), jnp.zeros((n,)), jnp.zeros((n,)),
-                jnp.zeros((n,), jnp.int32))
-        bases = (jnp.arange(n_chunks) * Tc).astype(jnp.int32)
-        (bt, bu, bv, btri), _ = jax.lax.scan(
-            chunk_step, init,
-            (jnp.moveaxis(const_chunks, 2, 0), c_t_chunks, tri_valid, bases),
-        )
-        return bt, bu, bv, btri
-
-    N = dh.shape[0]
-    if N > ray_block:
-        nb = -(-N // ray_block)
-        dh_p = jnp.pad(dh, ((0, nb * ray_block - N), (0, 0)), constant_values=1.0)
-        bt, bu, bv, btri = jax.lax.map(best_for_rays, dh_p.reshape(nb, ray_block, 3))
-        bt, bu, bv, btri = (x.reshape(nb * ray_block)[:N] for x in (bt, bu, bv, btri))
-    else:
-        bt, bu, bv, btri = best_for_rays(dh)
-
-    valid = bt < INF
-    tri = jnp.clip(btri + lo, 0, mesh.tri_v.shape[0] - 1)
-
-    # Barycentric attribute interpolation (opencl_kernel.cl:287-299).
-    w0 = 1.0 - bu - bv
-    tn = mesh.tri_n[tri]
-    nrm = (
-        w0[:, None] * mesh.normals[tn[:, 0]]
-        + bu[:, None] * mesh.normals[tn[:, 1]]
-        + bv[:, None] * mesh.normals[tn[:, 2]]
-    )
-    normal = normalize3(transform_normal3(inv_m, nrm))
-    tuv = mesh.tri_uv[tri]
-    uv = (
-        w0[:, None] * mesh.uvs[tuv[:, 0]]
-        + bu[:, None] * mesh.uvs[tuv[:, 1]]
-        + bv[:, None] * mesh.uvs[tuv[:, 2]]
-    )
-
-    # World-distance conversion (opencl_kernel.cl:301-303).
-    obj_pt = ro + bt[:, None] * dh
-    world_pt = transform_point3(m4, obj_pt)
-    t = jnp.linalg.norm(world_pt - o3, axis=-1) / jnp.linalg.norm(d3, axis=-1)
-    t = jnp.where(valid, t, INF)
-    return t, normal, uv, valid
+    T_pad = _round_up(max(T, 1), 128)
+    pad = T_pad - T
+    c_det = jnp.pad(c_det, ((0, pad), (0, 0)))
+    c_u = jnp.pad(c_u, ((0, pad), (0, 0)))
+    qvec = jnp.pad(qvec, ((0, pad), (0, 0)))
+    c_t = jnp.pad(c_t, (0, pad))
+    consts = jnp.concatenate([c_det, c_u, qvec], axis=0)  # (3*T_pad, 3)
+    return consts, c_t, T, T_pad
 
 
-def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=2048, ray_block=16384):
-    """Minimum hit parameter t for rays with per-ray origins (shadow rays).
-
-    o3: (N, 3) rest-frame spatial origins; d3: (N, 3) spatial dirs.
-    Returns t (N,), INF where no hit. Uses the 10-dim Plucker lift so the
-    inner product is a single matmul per triangle chunk.
-    """
+def general_ray_constants(mesh, tri_range):
+    """Per-triangle Plucker-lift operators, FACTOR-GROUPED: returns
+    (cols (4*T_pad, 10), T, T_pad) where rows [0,T_pad) are the det
+    operators, then u, v, t blocks. Grouped layout keeps per-chunk slices
+    contiguous (no strided sublane access). Zero padding rows auto-mask."""
     lo, hi = int(tri_range[0]), int(tri_range[1])
     T = hi - lo
-    n = d3.shape[0]
-    if T == 0:
-        return jnp.full((n,), INF)
-
-    ro = transform_point3(inv_m, o3)  # (N, 3)
-    d = transform_dir3(inv_m, d3)
-    scale = jnp.linalg.norm(d, axis=-1)
-    dh = d / scale[..., None]
-    mom = cross3(ro, dh)  # (N, 3)
-    r10 = jnp.concatenate([dh, mom, ro, jnp.ones((n, 1))], axis=-1)  # (N, 10)
-
-    A, B, C = _tri_vertices(mesh, lo, hi)
+    tv = mesh.tri_v[lo:hi]
+    A = mesh.vertices[tv[:, 0]]
+    B = mesh.vertices[tv[:, 1]]
+    C = mesh.vertices[tv[:, 2]]
     e1 = B - A
     e2 = C - A
     zeros = jnp.zeros_like(A)
     zcol = jnp.zeros((T, 1))
-    # Columns of the (10, 4) per-triangle operator: det, u_num, v_num, t_num.
-    col_det = jnp.concatenate([cross3(e2, e1), zeros, zeros, zcol], axis=-1)
-    col_u = jnp.concatenate([cross3(A, e2), e2, zeros, zcol], axis=-1)
-    col_v = jnp.concatenate([-cross3(A, e1), -e1, zeros, zcol], axis=-1)
-    col_t = jnp.concatenate(
-        [zeros, zeros, cross3(e1, e2), -dot3(e2, cross3(A, e1))[:, None]], axis=-1
+    col_det = jnp.concatenate([_cross_cols(e2, e1), zeros, zeros, zcol], axis=-1)
+    col_u = jnp.concatenate([_cross_cols(A, e2), e2, zeros, zcol], axis=-1)
+    col_v = jnp.concatenate([-_cross_cols(A, e1), -e1, zeros, zcol], axis=-1)
+    tnum_c = -jnp.sum(e2 * _cross_cols(A, e1), axis=-1)
+    col_t = jnp.concatenate([zeros, zeros, _cross_cols(e1, e2), tnum_c[:, None]], axis=-1)
+    T_pad = _round_up(max(T, 1), 128)
+
+    def padrows(x):
+        return jnp.pad(x, ((0, T_pad - T), (0, 0)))
+
+    cols = jnp.concatenate(
+        [padrows(col_det), padrows(col_u), padrows(col_v), padrows(col_t)], axis=0
     )
-    cols = jnp.stack([col_det, col_u, col_v, col_t], axis=1)  # (T, 4, 10)
+    return cols, T, T_pad
 
-    Tc = min(tri_chunk, _round_up(T, 128))
-    n_chunks = -(-T // Tc)
-    pad_T = n_chunks * Tc
-    cols_p = jnp.pad(cols, ((0, pad_T - T), (0, 0), (0, 0))).reshape(n_chunks, Tc, 4, 10)
-    tri_valid = (jnp.arange(pad_T) < T).reshape(n_chunks, Tc)
 
-    def best_for_rays(r10_blk):
-        nb = r10_blk.shape[0]
+def _mt_accept(det, u_num, v_num, t_num, tri_ok):
+    """Shared acceptance logic; returns dist (INF where rejected), u, v."""
+    inv_det = 1.0 / det
+    u = u_num * inv_det
+    v = v_num * inv_det
+    dist = t_num * inv_det
+    ok = (
+        (jnp.abs(det) >= EPSILON)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (dist >= 0.0) & tri_ok
+    )
+    return jnp.where(ok, dist, INF), u, v
 
-        def chunk_step(best_t, xs):
-            cp, tvalid = xs
-            out = jnp.einsum("nk,tfk->ntf", r10_blk, cp, precision=_PREC)  # (nb, Tc, 4)
-            det = out[..., 0]
-            inv_det = 1.0 / det
-            u = out[..., 1] * inv_det
-            v = out[..., 2] * inv_det
-            dist = out[..., 3] * inv_det
-            ok = (jnp.abs(det) >= EPSILON) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
-                & (u + v <= 1.0) & (dist >= 0.0) & tvalid[None, :]
-            dist = jnp.where(ok, dist, INF)
-            return jnp.minimum(best_t, jnp.min(dist, axis=1)), None
 
-        best, _ = jax.lax.scan(chunk_step, jnp.full((nb,), INF), (cols_p, tri_valid))
-        return best
+def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
+                          use_pallas=None):
+    """Nearest-hit of shared-origin rays against triangles [lo, hi).
 
-    if n > ray_block:
-        nb = -(-n // ray_block)
-        r10_p = jnp.pad(r10, ((0, nb * ray_block - n), (0, 0)), constant_values=1.0)
-        bt = jax.lax.map(best_for_rays, r10_p.reshape(nb, ray_block, 10)).reshape(nb * ray_block)[:n]
+    o3: (3,) rest-frame spatial origin; d3: (3, N) rest-frame spatial dirs.
+    Returns (t, normal (3, N), uv (2, N), valid); t is the 4D ray parameter,
+    converted via world-space distance like intersect_octree
+    (opencl_kernel.cl:301-303).
+
+    use_pallas: route the streaming reduce through the Pallas TPU kernel
+    (default: automatically on TPU backends).
+    """
+    n = d3.shape[1]
+    lo, hi = int(tri_range[0]), int(tri_range[1])
+    if hi - lo == 0:
+        return (jnp.full((n,), INF), jnp.zeros((3, n)), jnp.zeros((2, n)),
+                jnp.zeros((n,), bool))
+
+    ro = apply_affine3(inv_m, o3)  # (3,)
+    d = apply_linear3(inv_m, d3)  # (3, N)
+    scale = norm3(d)
+    dh = d / scale
+
+    consts, c_t, T, T_pad = shared_origin_constants(mesh, tri_range, ro)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        from .pallas.mesh_kernels import shared_nearest_hit
+
+        bt, bu, bv, btri = shared_nearest_hit(consts, c_t, dh)
+        return finalize_best_hit(mesh, lo, m4, inv_m, o3, d3, ro, dh, bt, bu, bv, btri)
+
+    Tc = min(tri_chunk, T_pad)
+    n_chunks = T_pad // Tc
+
+    def chunk_step(carry, k):
+        best_t, best_u, best_v, best_tri = carry
+        base = k * Tc
+        cd = jax.lax.dynamic_slice_in_dim(consts, base, Tc, 0)
+        cu = jax.lax.dynamic_slice_in_dim(consts, T_pad + base, Tc, 0)
+        cv = jax.lax.dynamic_slice_in_dim(consts, 2 * T_pad + base, Tc, 0)
+        ct = jax.lax.dynamic_slice_in_dim(c_t, base, Tc, 0)
+        blk = jnp.concatenate([cd, cu, cv], axis=0)  # (3Tc, 3)
+        prods = jnp.matmul(blk, dh, precision=_PREC)  # (3Tc, N)
+        det, u_num, v_num = prods[:Tc], prods[Tc:2 * Tc], prods[2 * Tc:]
+        tri_ok = (base + jnp.arange(Tc)) < T
+        dist, u, v = _mt_accept(det, u_num, v_num, ct[:, None], tri_ok[:, None])
+        idx = jnp.argmin(dist, axis=0)  # (N,)
+        # One-hot row select instead of a sublane gather (TPU-friendly).
+        onehot = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0) == idx[None, :]
+        dmin = jnp.min(dist, axis=0)
+        umin = jnp.sum(jnp.where(onehot, u, 0.0), axis=0)
+        vmin = jnp.sum(jnp.where(onehot, v, 0.0), axis=0)
+        better = dmin < best_t
+        carry = (
+            jnp.where(better, dmin, best_t),
+            jnp.where(better, umin, best_u),
+            jnp.where(better, vmin, best_v),
+            jnp.where(better, (base + idx).astype(jnp.int32), best_tri),
+        )
+        return carry, None
+
+    init = (jnp.full((n,), INF), jnp.zeros((n,)), jnp.zeros((n,)),
+            jnp.zeros((n,), jnp.int32))
+    (bt, bu, bv, btri), _ = jax.lax.scan(chunk_step, init, jnp.arange(n_chunks))
+
+    return finalize_best_hit(mesh, lo, m4, inv_m, o3, d3, ro, dh, bt, bu, bv, btri)
+
+
+def finalize_best_hit(mesh, lo, m4, inv_m, o3, d3, ro, dh, bt, bu, bv, btri):
+    """Attribute interpolation + world-distance conversion for the best hit.
+
+    Mirrors the post-walk block of intersect_octree
+    (opencl_kernel.cl:287-303). Shared by the jnp and Pallas mesh paths.
+    """
+    valid = bt < INF
+    tri = jnp.clip(btri + lo, 0, mesh.tri_v.shape[0] - 1)
+
+    w0 = 1.0 - bu - bv
+    tn = mesh.tri_n[tri]  # (N, 3) gather
+    nrm = (
+        w0 * mesh.normals[tn[:, 0]].T
+        + bu * mesh.normals[tn[:, 1]].T
+        + bv * mesh.normals[tn[:, 2]].T
+    )  # (3, N)
+    normal = normalize3(apply_normal3(inv_m, nrm))
+    tuv = mesh.tri_uv[tri]
+    uv = (
+        w0 * mesh.uvs[tuv[:, 0]].T
+        + bu * mesh.uvs[tuv[:, 1]].T
+        + bv * mesh.uvs[tuv[:, 2]].T
+    )  # (2, N)
+
+    # World-distance conversion (opencl_kernel.cl:301-303).
+    obj_pt = ro[:, None] + bt * dh if ro.ndim == 1 else ro + bt * dh
+    world_pt = apply_affine3(m4, obj_pt)
+    o3b = o3[:, None] if o3.ndim == 1 else o3
+    t = norm3(world_pt - o3b) / norm3(d3)
+    t = jnp.where(valid, t, INF)
+    return t, normal, uv, valid
+
+
+def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
+                       use_pallas=None):
+    """Minimum hit parameter t for rays with per-ray origins (shadow rays).
+
+    o3: (3, N) rest-frame spatial origins; d3: (3, N) spatial dirs.
+    Returns t (N,), INF where no hit, converted to the shared ray parameter.
+    """
+    n = d3.shape[1]
+    lo, hi = int(tri_range[0]), int(tri_range[1])
+    if hi - lo == 0:
+        return jnp.full((n,), INF)
+
+    ro = apply_affine3(inv_m, o3)  # (3, N)
+    d = apply_linear3(inv_m, d3)
+    scale = norm3(d)
+    dh = d / scale
+    mom = jnp.stack(
+        [
+            ro[1] * dh[2] - ro[2] * dh[1],
+            ro[2] * dh[0] - ro[0] * dh[2],
+            ro[0] * dh[1] - ro[1] * dh[0],
+        ]
+    )
+    r10 = jnp.concatenate([dh, mom, ro, jnp.ones((1, n))], axis=0)  # (10, N)
+
+    cols, T, T_pad = general_ray_constants(mesh, tri_range)  # (4*T_pad, 10)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        from .pallas.mesh_kernels import general_min_t
+
+        bt = general_min_t(cols, r10)
     else:
-        bt = best_for_rays(r10)
+        Tc = min(tri_chunk, T_pad)
+        n_chunks = T_pad // Tc
+
+        def chunk_step(best_t, k):
+            base = k * Tc
+            det = jnp.matmul(jax.lax.dynamic_slice_in_dim(cols, base, Tc, 0), r10, precision=_PREC)
+            u_num = jnp.matmul(jax.lax.dynamic_slice_in_dim(cols, T_pad + base, Tc, 0), r10, precision=_PREC)
+            v_num = jnp.matmul(jax.lax.dynamic_slice_in_dim(cols, 2 * T_pad + base, Tc, 0), r10, precision=_PREC)
+            t_num = jnp.matmul(jax.lax.dynamic_slice_in_dim(cols, 3 * T_pad + base, Tc, 0), r10, precision=_PREC)
+            tri_ok = (base + jnp.arange(Tc)) < T
+            dist, _, _ = _mt_accept(det, u_num, v_num, t_num, tri_ok[:, None])
+            return jnp.minimum(best_t, jnp.min(dist, axis=0)), None
+
+        bt, _ = jax.lax.scan(chunk_step, jnp.full((n,), INF), jnp.arange(n_chunks))
 
     valid = bt < INF
-    # Convert object-space distance to the shared ray parameter (world ratio).
-    obj_pt = ro + bt[:, None] * dh
-    world_pt = transform_point3(m4, obj_pt)
-    t = jnp.linalg.norm(world_pt - o3, axis=-1) / jnp.linalg.norm(d3, axis=-1)
+    obj_pt = ro + bt * dh
+    world_pt = apply_affine3(m4, obj_pt)
+    t = norm3(world_pt - o3) / norm3(d3)
     return jnp.where(valid, t, INF)

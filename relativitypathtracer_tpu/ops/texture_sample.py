@@ -6,6 +6,8 @@ sequence: after clamping x+1 for the second tap, the fourth tap uses
 clamp((x+1)-1), which differs from the original x when x was at the border.
 Per-pixel texture (offset, width, height) come from the hit object, so mixed
 texture sizes batch fine; out-of-atlas lanes must be masked by the caller.
+
+LAYOUT: rays on the last axis -- uv is (2, N), outputs (3, N).
 """
 
 from __future__ import annotations
@@ -14,14 +16,14 @@ import jax.numpy as jnp
 
 
 def bilinear_sample(atlas, offset, width, height, uv):
-    """atlas: (B,) uint8; offset/width/height: (N,) int32; uv: (N, 2) float.
+    """atlas: (B,) uint8; offset/width/height: (N,) int32; uv: (2, N) float.
 
-    Returns (N, 3) float RGB in [0, 1].
+    Returns (3, N) float RGB in [0, 1].
     """
     w = width
     h = height
-    u = w.astype(jnp.float32) * uv[..., 0]
-    v = h.astype(jnp.float32) * (1.0 - uv[..., 1])
+    u = w.astype(jnp.float32) * uv[0]
+    v = h.astype(jnp.float32) * (1.0 - uv[1])
     x = jnp.minimum(jnp.floor(u).astype(jnp.int32), w - 1)
     y = jnp.minimum(jnp.floor(v).astype(jnp.int32), h - 1)
     u_ratio = u - x.astype(jnp.float32)
@@ -37,12 +39,55 @@ def bilinear_sample(atlas, offset, width, height, uv):
     y1 = jnp.clip(y0 + 1, 0, h - 1)
     x2 = jnp.clip(x1 - 1, 0, w - 1)  # reference quirk: derived from x1, not x0
 
-    def fetch(xi, yi):
-        base = offset + 3 * (w * yi + xi)
-        base = jnp.clip(base, 0, atlas.shape[0] - 3)
-        idx = base[..., None] + jnp.arange(3)
-        return jnp.take(atlas, idx, axis=0).astype(jnp.float32) / 255.0
+    limit = atlas.shape[0] - 3
 
-    row1 = (fetch(x0, y0) * u_opp[..., None] + fetch(x1, y0) * u_ratio[..., None]) * v_opp[..., None]
-    row2 = (fetch(x1, y1) * u_ratio[..., None] + fetch(x2, y1) * u_opp[..., None]) * v_ratio[..., None]
+    def fetch(xi, yi):
+        base = jnp.clip(offset + 3 * (w * yi + xi), 0, limit)
+        r = jnp.take(atlas, base).astype(jnp.float32)
+        g = jnp.take(atlas, base + 1).astype(jnp.float32)
+        b = jnp.take(atlas, base + 2).astype(jnp.float32)
+        return jnp.stack([r, g, b]) / 255.0  # (3, N)
+
+    row1 = (fetch(x0, y0) * u_opp + fetch(x1, y0) * u_ratio) * v_opp
+    row2 = (fetch(x1, y1) * u_ratio + fetch(x2, y1) * u_opp) * v_ratio
+    return row1 + row2
+
+
+def bilinear_sample_packed(atlas_u32, offset_texels, width, height, uv):
+    """Bilinear sample from the RGB-packed uint32 atlas: one gather per tap
+    (4 total) instead of 12 byte gathers -- gathers are the dominant cost of
+    texturing on TPU. Texel layout: R | G<<8 | B<<16.
+
+    atlas_u32: (B/3,) uint32; offset_texels: (N,) int32 (byte offset / 3);
+    uv: (2, N). Returns (3, N) float RGB in [0, 1].
+    """
+    w = width
+    h = height
+    u = w.astype(jnp.float32) * uv[0]
+    v = h.astype(jnp.float32) * (1.0 - uv[1])
+    x = jnp.minimum(jnp.floor(u).astype(jnp.int32), w - 1)
+    y = jnp.minimum(jnp.floor(v).astype(jnp.int32), h - 1)
+    u_ratio = u - x.astype(jnp.float32)
+    v_ratio = v - y.astype(jnp.float32)
+    u_opp = 1.0 - u_ratio
+    v_opp = 1.0 - v_ratio
+
+    x0 = jnp.clip(x, 0, w - 1)
+    y0 = jnp.clip(y, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x2 = jnp.clip(x1 - 1, 0, w - 1)  # reference tap quirk preserved
+
+    limit = atlas_u32.shape[0] - 1
+
+    def fetch(xi, yi):
+        idx = jnp.clip(offset_texels + w * yi + xi, 0, limit)
+        packed = jnp.take(atlas_u32, idx)
+        r = (packed & 0xFF).astype(jnp.float32)
+        g = ((packed >> 8) & 0xFF).astype(jnp.float32)
+        b = ((packed >> 16) & 0xFF).astype(jnp.float32)
+        return jnp.stack([r, g, b]) / 255.0
+
+    row1 = (fetch(x0, y0) * u_opp + fetch(x1, y0) * u_ratio) * v_opp
+    row2 = (fetch(x1, y1) * u_ratio + fetch(x2, y1) * u_opp) * v_ratio
     return row1 + row2

@@ -12,6 +12,10 @@ TPU-native re-design of the reference's per-pixel megakernel
   groups (spheres/cubes vmapped, meshes via MXU matmul factorization in
   ops.mesh_intersect), merged with a running nearest-hit reduce -- no per-ray
   divergence.
+- LAYOUT: rays on the LAST axis everywhere ((3, N) vectors, (4, N)
+  4-vectors), so the ray dimension maps onto the TPU's 128 vector lanes.
+  Per-pixel 4x4 matrix "gathers" are expressed as (16, O) @ (O, N) one-hot
+  matmuls -- dense MXU work instead of scattered reads.
 - `interval` (the light-propagation toggle) is a Python-static argument: both
   values compile to their own specialized program, matching how the reference
   branches on it everywhere.
@@ -30,12 +34,11 @@ import jax
 import jax.numpy as jnp
 
 from .models.scene import Scene, SceneMeta
-from .ops import mesh_intersect
 from .ops.camera import camera_ray_dirs
-from .ops.intersect import INF, cube_intersect, sphere_intersect
+from .ops.intersect import INF, cube_intersect, norm3, normalize3, sphere_intersect
 from .ops.mesh_intersect import mesh_intersect_shared, mesh_min_t_general
-from .ops.relmath import dot3, lorentz, matmul4, normalize3, transform4
-from .ops.texture_sample import bilinear_sample
+from .ops.relmath import lorentz, matmul4, transform4
+from .ops.texture_sample import bilinear_sample_packed
 from .ops.tonemap import tonemap
 
 MISS_COLOR = (0.15, 0.15, 0.25)
@@ -87,8 +90,8 @@ def _merge_best(best, cand):
     take = t_c < t_b
     return (
         jnp.where(take, t_c, t_b),
-        jnp.where(take[:, None], n_c, n_b),
-        jnp.where(take[:, None], uv_c, uv_b),
+        jnp.where(take[None, :], n_c, n_b),
+        jnp.where(take[None, :], uv_c, uv_b),
         jnp.where(take, o_c, o_b),
     )
 
@@ -96,46 +99,64 @@ def _merge_best(best, cand):
 def _group_nearest(intersect_fn, ids, inv_m, o3, d3):
     """Nearest hit within one vmapped object group.
 
-    o3: (G, 3) shared or (G, N, 3) per-ray origins; d3: (G, N, 3).
-    Returns per-ray (t, normal, uv, obj_index_in_group->global id).
+    o3: (G, 3) shared or (G, 3, N) per-ray origins; d3: (G, 3, N).
+    Returns per-ray (t (N,), normal (3, N), uv (2, N), global obj id (N,)).
     """
-    t, n, uv, valid = jax.vmap(intersect_fn)(inv_m, o3, d3)  # (G, N, ...)
+    t, nrm, uv, _ = jax.vmap(intersect_fn)(inv_m, o3, d3)  # (G, ...)
     gi = jnp.argmin(t, axis=0)  # (N,)
-    t_min = jnp.take_along_axis(t, gi[None, :], axis=0)[0]
-    n_min = jnp.take_along_axis(n, gi[None, :, None], axis=0)[0]
-    uv_min = jnp.take_along_axis(uv, gi[None, :, None], axis=0)[0]
+    onehot = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) == gi[None, :]
+    t_min = jnp.min(t, axis=0)
+    sel = jnp.where(onehot[:, None, :], 1.0, 0.0)  # (G, 1, N)
+    n_min = jnp.sum(jnp.where(onehot[:, None, :], nrm, 0.0), axis=0)
+    uv_min = jnp.sum(jnp.where(onehot[:, None, :], uv, 0.0), axis=0)
+    del sel
     obj = jnp.asarray(ids, jnp.int32)[gi]
     return t_min, n_min, uv_min, obj
+
+
+def gather_mats(mats, obj_onehot):
+    """Per-pixel 4x4 matrix selection as one MXU matmul.
+
+    mats: (O, 4, 4); obj_onehot: (O, N) float 0/1. Returns (4, 4, N).
+    """
+    O = mats.shape[0]
+    flat = mats.reshape(O, 16).T  # (16, O)
+    return jnp.matmul(flat, obj_onehot).reshape(4, 4, -1)
+
+
+def apply44_perpixel(m, v):
+    """(4, 4, N) per-pixel matrices applied to (4, N) vectors."""
+    return jnp.einsum("ijn,jn->in", m, v)
 
 
 def intersect_scene(scene: Scene, meta: SceneMeta, L, stat_cam, dir4):
     """Nearest hit over all objects for rays sharing the camera origin.
 
-    dir4: (N, 4) = (interval, unit camera dir) in the camera frame.
-    Returns (t, normal, uv, obj_id, did_hit); normals live in the hit object's
-    rest frame, t is the shared 4D ray parameter.
+    dir4: (4, N) = (interval, unit camera dir) in the camera frame.
+    Returns (t, normal (3, N), uv (2, N), obj_id, did_hit); normals live in
+    the hit object's rest frame, t is the shared 4D ray parameter.
     """
     objects = scene.objects
-    n_rays = dir4.shape[0]
+    n_rays = dir4.shape[1]
     best = (
         jnp.full((n_rays,), INF),
-        jnp.zeros((n_rays, 3)),
-        jnp.zeros((n_rays, 2)),
+        jnp.zeros((3, n_rays)),
+        jnp.zeros((2, n_rays)),
         jnp.zeros((n_rays,), jnp.int32),
     )
 
     for fn, ids_all in ((sphere_intersect, meta.sphere_ids), (cube_intersect, meta.cube_ids)):
         for ids in _chunks(ids_all, _GROUP_CHUNK):
             idx = jnp.asarray(ids, jnp.int32)
-            d4 = jnp.einsum("gij,nj->gni", L[idx], dir4)
-            cand = _group_nearest(fn, ids, objects.inv_m[idx], stat_cam[idx][:, 1:4], d4[..., 1:4])
+            d4 = jnp.einsum("gij,jn->gin", L[idx], dir4)
+            cand = _group_nearest(fn, ids, objects.inv_m[idx], stat_cam[idx][:, 1:4], d4[:, 1:4])
             best = _merge_best(best, cand)
 
     for k, i in enumerate(meta.mesh_ids):
-        d4 = jnp.einsum("ij,nj->ni", L[i], dir4)
+        d4 = L[i] @ dir4  # (4, N)
         t, n, uv, valid = mesh_intersect_shared(
             scene.mesh, meta.mesh_tri_ranges[k], objects.m[i], objects.inv_m[i],
-            stat_cam[i, 1:4], d4[:, 1:4],
+            stat_cam[i, 1:4], d4[1:4],
         )
         cand = (t, n, uv, jnp.full((n_rays,), i, jnp.int32))
         best = _merge_best(best, cand)
@@ -149,9 +170,9 @@ def scene_min_t(scene: Scene, meta: SceneMeta, L, origins4, dir3, interval: int,
     rays with per-ray origins. Mirrors sample_light
     (/root/reference/opencl_kernel.cl:488-545)."""
     objects = scene.objects
-    n_rays = origins4.shape[0]
+    n_rays = origins4.shape[1]
     dir4 = jnp.concatenate(
-        [jnp.full((n_rays, 1), float(interval)), normalize3(dir3)], axis=-1
+        [jnp.full((1, n_rays), float(interval)), normalize3(dir3)], axis=0
     )
     best = jnp.full((n_rays,), INF)
 
@@ -159,19 +180,19 @@ def scene_min_t(scene: Scene, meta: SceneMeta, L, origins4, dir3, interval: int,
         ids_all = tuple(i for i in ids_all if i != exclude_id)
         for ids in _chunks(ids_all, _GROUP_CHUNK):
             idx = jnp.asarray(ids, jnp.int32)
-            o4 = jnp.einsum("gij,nj->gni", L[idx], origins4)
-            d4 = jnp.einsum("gij,nj->gni", L[idx], dir4)
-            t, _, _, _ = jax.vmap(fn)(objects.inv_m[idx], o4[..., 1:4], d4[..., 1:4])
+            o4 = jnp.einsum("gij,jn->gin", L[idx], origins4)
+            d4 = jnp.einsum("gij,jn->gin", L[idx], dir4)
+            t, _, _, _ = jax.vmap(fn)(objects.inv_m[idx], o4[:, 1:4], d4[:, 1:4])
             best = jnp.minimum(best, jnp.min(t, axis=0))
 
     for k, i in enumerate(meta.mesh_ids):
         if i == exclude_id:
             continue
-        o4 = jnp.einsum("ij,nj->ni", L[i], origins4)
-        d4 = jnp.einsum("ij,nj->ni", L[i], dir4)
+        o4 = L[i] @ origins4
+        d4 = L[i] @ dir4
         t = mesh_min_t_general(
             scene.mesh, meta.mesh_tri_ranges[k], objects.m[i], objects.inv_m[i],
-            o4[:, 1:4], d4[:, 1:4],
+            o4[1:4], d4[1:4],
         )
         best = jnp.minimum(best, t)
     return best
@@ -179,86 +200,90 @@ def scene_min_t(scene: Scene, meta: SceneMeta, L, origins4, dir3, interval: int,
 
 def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int):
     """Full trace: nearest hit + texture/flash + ambient/emissive + per-light
-    direct lighting with 4D shadow rays. dirs: (N, 3) unit camera-frame dirs.
-    Returns (color (N, 3), aux dict)."""
+    direct lighting with 4D shadow rays. dirs: (3, N) unit camera-frame dirs.
+    Returns (color (3, N), aux dict)."""
     objects = scene.objects
-    n_rays = dirs.shape[0]
-    dir4 = jnp.concatenate([jnp.full((n_rays, 1), float(interval)), dirs], axis=-1)
+    n_rays = dirs.shape[1]
+    dir4 = jnp.concatenate([jnp.full((1, n_rays), float(interval)), dirs], axis=0)
 
     t, normal, uv, obj, did_hit = intersect_scene(scene, meta, L, stat_cam, dir4)
+
+    n_obj = meta.num_objects
+    obj_onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_obj, n_rays), 0) == obj[None, :]
+    )
+    obj_onehot_f = obj_onehot.astype(jnp.float32)
 
     # --- surface color: texture or flat, then proper-time flash (x2) ---
     tex_off = objects.tex_offset[obj]
     textured = tex_off != -1
-    tex_rgb = bilinear_sample(
-        scene.textures,
-        jnp.maximum(tex_off, 0),
+    tex_rgb = bilinear_sample_packed(
+        scene.textures_packed,
+        jnp.maximum(tex_off, 0) // 3,
         jnp.maximum(objects.tex_w[obj], 1),
         jnp.maximum(objects.tex_h[obj], 1),
         uv,
     )
-    hit_color = jnp.where(textured[:, None], tex_rgb, objects.color[obj])
+    flat_rgb = jnp.matmul(objects.color.T, obj_onehot_f)  # (3, N)
+    hit_color = jnp.where(textured[None, :], tex_rgb, flat_rgb)
 
-    period = objects.flash_period[obj]
-    duration = objects.flash_duration[obj]
-    L_hit = L[obj]  # (N, 4, 4)
-    event_t = stat_cam[obj][:, 0] + jnp.einsum("nj,nj->n", L_hit[:, 0, :], dir4) * t
+    period = jnp.matmul(objects.flash_period[None, :], obj_onehot_f)[0]
+    duration = jnp.matmul(objects.flash_duration[None, :], obj_onehot_f)[0]
+    L_hit = gather_mats(L, obj_onehot_f)  # (4, 4, N)
+    stat_cam_hit = jnp.matmul(stat_cam.T, obj_onehot_f)  # (4, N)
+    event_t = stat_cam_hit[0] + jnp.sum(L_hit[0] * dir4, axis=0) * t
     safe_period = jnp.where(period > 0, period, 1.0)
     flashing = (period > 0) & (event_t - safe_period * jnp.floor(event_t / safe_period) < duration)
-    hit_color = jnp.where(flashing[:, None], hit_color * 2.0, hit_color)
+    hit_color = jnp.where(flashing[None, :], hit_color * 2.0, hit_color)
 
     # --- ambient + emissive (opencl_kernel.cl:567-571) ---
     ambient = scene.ambient if interval != 0 else jnp.float32(1.0)
     color = hit_color * ambient
     is_light = objects.light[obj]
-    color = color + jnp.where(is_light[:, None], hit_color, 0.0)
+    color = color + jnp.where(is_light[None, :], hit_color, 0.0)
 
     shadow_rays = jnp.zeros((), jnp.int32)
     if interval != 0 and meta.light_ids:
         # Hit event reconstructed in the camera frame, normal-biased
         # (opencl_kernel.cl:575-580).
-        ray_dir_of = jnp.einsum("nij,nj->ni", L_hit, dir4)
-        hit_pos_of = stat_cam[obj] + ray_dir_of * t[:, None]
+        inv_L_hit = gather_mats(inv_L, obj_onehot_f)
+        ray_dir_of = apply44_perpixel(L_hit, dir4)
+        hit_pos_of = stat_cam_hit + ray_dir_of * t
         hit_pos_of = hit_pos_of + jnp.concatenate(
-            [jnp.zeros((n_rays, 1)), normal * 0.001], axis=-1
+            [jnp.zeros((1, n_rays)), normal * 0.001], axis=0
         )
-        hit_pos = jnp.einsum("nij,nj->ni", inv_L[obj], hit_pos_of)
+        hit_pos = apply44_perpixel(inv_L_hit, hit_pos_of)  # (4, N) camera frame
 
         for i in meta.light_ids:
             # Frame-hopping retarded light direction (opencl_kernel.cl:581-589).
-            hit_pos_lf = jnp.einsum("ij,nj->ni", L[i], hit_pos)
+            hit_pos_lf = L[i] @ hit_pos
             light_pos3 = objects.m[i][:3, 3]
-            ld3_lf = light_pos3[None, :] - hit_pos_lf[:, 1:4]
+            ld3_lf = light_pos3[:, None] - hit_pos_lf[1:4]
             ld_lf = jnp.concatenate(
-                [float(interval) * jnp.linalg.norm(ld3_lf, axis=-1, keepdims=True), ld3_lf],
-                axis=-1,
+                [float(interval) * norm3(ld3_lf)[None, :], ld3_lf], axis=0
             )
-            ld = jnp.einsum("ij,nj->ni", inv_L[i], ld_lf)  # camera frame
-            ld_of = jnp.einsum("nij,nj->ni", L_hit, ld)
-            ld3_of = ld_of[:, 1:4]
-            ndotl = dot3(normal, normalize3(ld3_of))
+            ld = inv_L[i] @ ld_lf  # camera frame
+            ld_of = apply44_perpixel(L_hit, ld)
+            ld3_of = ld_of[1:4]
+            ndotl = jnp.sum(normal * normalize3(ld3_of), axis=0)
 
-            tmax = jnp.linalg.norm(ld[:, 1:4], axis=-1)
-            occ_t = scene_min_t(scene, meta, L, hit_pos, ld[:, 1:4], interval, i)
+            tmax = norm3(ld[1:4])
+            occ_t = scene_min_t(scene, meta, L, hit_pos, ld[1:4], interval, i)
             lit = occ_t >= tmax
 
-            llen = jnp.linalg.norm(ld3_of, axis=-1)
-            falloff = 1.0 / (1.0 + 0.1 * llen + 0.01 * dot3(ld3_of, ld3_of))
-            contrib = ndotl[:, None] * falloff[:, None] * hit_color * objects.color[i][None, :]
-            mask = did_hit & (obj != i) & is_light_flag(objects, i) & (ndotl > 0) & lit
-            color = color + jnp.where(mask[:, None], contrib, 0.0)
+            llen = norm3(ld3_of)
+            falloff = 1.0 / (1.0 + 0.1 * llen + 0.01 * (llen * llen))
+            contrib = (ndotl * falloff)[None, :] * hit_color * objects.color[i][:, None]
+            mask = did_hit & (obj != i) & objects.light[i] & (ndotl > 0) & lit
+            color = color + jnp.where(mask[None, :], contrib, 0.0)
             shadow_rays = shadow_rays + jnp.sum(
                 (did_hit & (obj != i) & (ndotl > 0)).astype(jnp.int32)
             )
 
     miss = jnp.asarray(MISS_COLOR, jnp.float32)
-    color = jnp.where(did_hit[:, None], color, miss[None, :])
+    color = jnp.where(did_hit[None, :], color, miss[:, None])
     aux = {"hits": jnp.sum(did_hit.astype(jnp.int32)), "shadow_rays": shadow_rays}
     return color, aux
-
-
-def is_light_flag(objects, i: int):
-    return objects.light[i]
 
 
 @functools.lru_cache(maxsize=64)
@@ -270,20 +295,17 @@ def build_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
 
     def render(scene: Scene, state: FrameState):
         L, inv_L, stat_cam = object_frames(scene.objects, state)
-        dirs = camera_ray_dirs(width, height, msaa)
-        if msaa == 1:
-            dirs_samples = dirs[None]
-        else:
-            dirs_samples = dirs
-        acc = jnp.zeros((height * width, 3))
+        dirs = camera_ray_dirs(width, height, msaa)  # (S?, H, W, 3)
+        dirs_samples = dirs[None] if msaa == 1 else dirs
+        acc = jnp.zeros((3, height * width))
         aux_acc = None
         for s in range(dirs_samples.shape[0]):
-            d = dirs_samples[s].reshape(-1, 3)
+            d = dirs_samples[s].reshape(-1, 3).T  # (3, N)
             c, aux = shade(scene, meta, L, inv_L, stat_cam, d, interval)
             acc = acc + c
             aux_acc = aux if aux_acc is None else jax.tree.map(jnp.add, aux_acc, aux)
         color = acc / float(dirs_samples.shape[0])
-        img = tonemap(color, scene.white_point).reshape(height, width, 3)
+        img = tonemap(color.T, scene.white_point).reshape(height, width, 3)
         if with_aux:
             return img, aux_acc
         return img

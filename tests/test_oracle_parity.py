@@ -1,0 +1,76 @@
+"""Differential tests: JAX renderer vs the native C++ oracle.
+
+The oracle (native/cpu_reference.cpp) independently implements the full
+reference algorithm including the stackless octree walk; the JAX renderer uses
+the MXU-factored brute-force mesh path. Agreement across all 8 scenes
+cross-validates both. Tolerance: every pixel within 1e-3 except a small
+fraction of contrast-edge pixels where fp rounding flips a hit/miss or
+bilinear-tap decision (inevitable between any two float implementations).
+"""
+
+import pathlib
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from relativitypathtracer_tpu import FrameState, build_scene, load_scene_file, render_frame
+from relativitypathtracer_tpu.utils.scene_blob import write_scene_blob
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+ORACLE = REPO / "native" / "cpu_reference"
+W, H = 192, 108
+
+SCENES = ["cube", "soccer", "arch", "cubes", "ladder_paradox", "rulers", "shadows", "bunny"]
+# scene -> (max fraction of pixels allowed above 1e-3, scene time)
+TOL = {name: 0.005 for name in SCENES}
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    if not ORACLE.exists():
+        if shutil.which("g++") is None:
+            pytest.skip("no g++ available to build the oracle")
+        subprocess.run(["make", "-C", str(REPO / "native")], check=True, capture_output=True)
+    return str(ORACLE)
+
+
+@pytest.mark.parametrize("name", SCENES)
+def test_scene_matches_oracle(name, oracle, reference_root, tmp_path):
+    host = load_scene_file(str(reference_root / "Scenes" / f"{name}.txt"))
+    scene, meta = build_scene(host)
+    state = FrameState.initial()
+
+    blob = tmp_path / f"{name}.blob"
+    out = tmp_path / f"{name}.rgb"
+    write_scene_blob(str(blob), scene, meta, state, W, H)
+    subprocess.run([oracle, str(blob), str(out)], check=True, capture_output=True)
+    ref = np.fromfile(out, np.float32).reshape(H, W, 3)
+
+    ours = np.asarray(render_frame(scene, meta, state, W, H))
+    diff = np.abs(ref - ours)
+    frac_bad = float(np.mean(diff.max(-1) > 1e-3))
+    assert diff.mean() < 1e-3, f"mean diff {diff.mean()} too high"
+    assert frac_bad <= TOL[name], f"{frac_bad * 100:.2f}% pixels differ > 1e-3"
+
+
+def test_oracle_parity_at_nonzero_time_and_velocity(oracle, reference_root, tmp_path):
+    """Moving camera + advanced scene time exercises the full boost chain."""
+    import jax.numpy as jnp
+
+    host = load_scene_file(str(reference_root / "Scenes" / "rulers.txt"))
+    scene, meta = build_scene(host)
+    state = FrameState(
+        cam_velocity=jnp.array([0.3, 0.1, -0.2], jnp.float32),
+        cam_pos=jnp.array([2.5, 0, 0, 0], jnp.float32),
+    )
+    blob = tmp_path / "rulers_t.blob"
+    out = tmp_path / "rulers_t.rgb"
+    write_scene_blob(str(blob), scene, meta, state, W, H, interval=-1)
+    subprocess.run([oracle, str(blob), str(out)], check=True, capture_output=True)
+    ref = np.fromfile(out, np.float32).reshape(H, W, 3)
+    ours = np.asarray(render_frame(scene, meta, state, W, H, interval=-1))
+    diff = np.abs(ref - ours)
+    assert diff.mean() < 1e-3
+    assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.01
