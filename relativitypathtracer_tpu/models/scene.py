@@ -70,7 +70,7 @@ class Scene(NamedTuple):
     objects: ObjectsSoA
     mesh: MeshArrays
     textures: jnp.ndarray  # (B,) uint8 interleaved-RGB atlas
-    textures_packed: jnp.ndarray  # (B/3,) uint32 R|G<<8|B<<16 (gather-cheap)
+    textures_packed: jnp.ndarray  # (R, 128) uint32 rows of R|G<<8|B<<16 texels
     white_point: jnp.ndarray  # (3,) f32
     ambient: jnp.ndarray  # () f32
 
@@ -86,11 +86,37 @@ class SceneMeta:
     mesh_ids: tuple  # indices of MESH objects
     mesh_roots: tuple  # octree root node index per mesh object (same order)
     mesh_tri_ranges: tuple  # (start, end) triangle-pool range per mesh object
+    mesh_perms: tuple  # per mesh object: Morton-order triangle permutation
     light_ids: tuple  # indices of objects with light=True
     default_interval: int  # -1 normally, 0 if the scene contains the I command
     num_tris: int
     num_nodes: int
     max_octree_depth: int
+
+
+def _morton_perm(verts: np.ndarray, tri_v: np.ndarray, lo: int, hi: int) -> tuple:
+    """Morton (Z-curve) triangle ordering by quantized centroid, so that
+    fixed-size triangle chunks in the Pallas mesh kernels are spatially tight
+    and the chunk-vs-ray-cone culling actually skips work. Returns a tuple of
+    python ints (hashable, lives in SceneMeta)."""
+    if hi <= lo:
+        return ()
+    tv = tri_v[lo:hi]
+    cent = (verts[tv[:, 0]] + verts[tv[:, 1]] + verts[tv[:, 2]]) / 3.0
+    lo_c = cent.min(axis=0)
+    span = np.maximum(cent.max(axis=0) - lo_c, 1e-12)
+    q = np.minimum((1023.0 * (cent - lo_c) / span).astype(np.uint64), 1023)
+
+    def spread(x):
+        x = x & 0x3FF
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return tuple(int(i) for i in np.argsort(code, kind="stable"))
 
 
 def _f32(x):
@@ -176,6 +202,8 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
         | (tex_np[1::3].astype(np.uint32) << 8)
         | (tex_np[2::3].astype(np.uint32) << 16)
     )
+    rows = -(-len(packed) // 128)
+    packed = np.pad(packed, (0, rows * 128 - len(packed))).reshape(rows, 128)
     scene = Scene(
         objects=objects, mesh=mesh, textures=textures,
         textures_packed=jnp.asarray(packed),
@@ -183,13 +211,21 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
     )
 
     mesh_ids = tuple(int(i) for i in np.nonzero(types == MESH)[0])
+    tri_ranges = tuple(
+        host.mesh.root_tri_ranges.get(int(mesh_root[i]), (0, len(tris))) for i in mesh_ids
+    )
+    perms = tuple(
+        _morton_perm(verts, tris[:, 0::3].astype(np.int64), lo, hi)
+        for (lo, hi) in tri_ranges
+    )
     meta = SceneMeta(
         num_objects=num,
         sphere_ids=tuple(int(i) for i in np.nonzero(types == SPHERE)[0]),
         cube_ids=tuple(int(i) for i in np.nonzero(types == CUBE)[0]),
         mesh_ids=mesh_ids,
         mesh_roots=tuple(int(mesh_root[i]) for i in mesh_ids),
-        mesh_tri_ranges=tuple(host.mesh.root_tri_ranges.get(int(mesh_root[i]), (0, len(tris))) for i in mesh_ids),
+        mesh_tri_ranges=tri_ranges,
+        mesh_perms=perms,
         light_ids=tuple(int(i) for i in np.nonzero(light)[0]),
         default_interval=int(host.default_interval),
         num_tris=int(len(tris)),

@@ -55,19 +55,28 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def shared_origin_constants(mesh, tri_range, ro):
+def mesh_tri_vertices(mesh, tri_range, perm=None):
+    lo, hi = int(tri_range[0]), int(tri_range[1])
+    tv = mesh.tri_v[lo:hi]
+    if perm is not None:
+        tv = tv[perm]
+    A = mesh.vertices[tv[:, 0]]
+    B = mesh.vertices[tv[:, 1]]
+    C = mesh.vertices[tv[:, 2]]
+    return A, B, C
+
+
+def shared_origin_constants(mesh, tri_range, ro, perm=None):
     """Per-triangle constant matrix for the shared-origin factorization.
 
     ro: (3,) object-space origin. Returns (consts (3T_pad, 3), c_t (T_pad,),
     T, T_pad) with T_pad rounded up to 128; padding rows are zero (det == 0
-    -> auto-masked by the epsilon test).
+    -> auto-masked by the epsilon test). `perm` optionally reorders triangles
+    (Morton order for chunk locality).
     """
     lo, hi = int(tri_range[0]), int(tri_range[1])
     T = hi - lo
-    tv = mesh.tri_v[lo:hi]
-    A = mesh.vertices[tv[:, 0]]
-    B = mesh.vertices[tv[:, 1]]
-    C = mesh.vertices[tv[:, 2]]
+    A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
     e1 = B - A
     e2 = C - A
     qvec = _cross_cols(ro[None, :] - A, e1)
@@ -85,17 +94,34 @@ def shared_origin_constants(mesh, tri_range, ro):
     return consts, c_t, T, T_pad
 
 
-def general_ray_constants(mesh, tri_range):
+def tri_attr_matrix(mesh, tri_range, T_pad, perm=None):
+    """(15, T_pad) interpolation operators: rows = [nA(3), uvA(2),
+    (nB-nA)(3), (uvB-uvA)(2), (nC-nA)(3), (uvC-uvA)(2)] so that
+    attr(u, v) = base + u*du + v*dv reproduces barycentric interpolation."""
+    lo, hi = int(tri_range[0]), int(tri_range[1])
+    T = hi - lo
+    tn = mesh.tri_n[lo:hi]
+    tuv = mesh.tri_uv[lo:hi]
+    if perm is not None:
+        tn = tn[perm]
+        tuv = tuv[perm]
+    nA, nB, nC = (mesh.normals[tn[:, k]] for k in range(3))
+    uA, uB, uC = (mesh.uvs[tuv[:, k]] for k in range(3))
+    base = jnp.concatenate([nA, uA], axis=1)  # (T, 5)
+    du = jnp.concatenate([nB - nA, uB - uA], axis=1)
+    dv = jnp.concatenate([nC - nA, uC - uA], axis=1)
+    attrs = jnp.concatenate([base, du, dv], axis=1)  # (T, 15)
+    return jnp.pad(attrs, ((0, T_pad - T), (0, 0))).T  # (15, T_pad)
+
+
+def general_ray_constants(mesh, tri_range, perm=None):
     """Per-triangle Plucker-lift operators, FACTOR-GROUPED: returns
     (cols (4*T_pad, 10), T, T_pad) where rows [0,T_pad) are the det
     operators, then u, v, t blocks. Grouped layout keeps per-chunk slices
     contiguous (no strided sublane access). Zero padding rows auto-mask."""
     lo, hi = int(tri_range[0]), int(tri_range[1])
     T = hi - lo
-    tv = mesh.tri_v[lo:hi]
-    A = mesh.vertices[tv[:, 0]]
-    B = mesh.vertices[tv[:, 1]]
-    C = mesh.vertices[tv[:, 2]]
+    A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
     e1 = B - A
     e2 = C - A
     zeros = jnp.zeros_like(A)
@@ -132,7 +158,7 @@ def _mt_accept(det, u_num, v_num, t_num, tri_ok):
 
 
 def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
-                          use_pallas=None):
+                          use_pallas=None, perm=None):
     """Nearest-hit of shared-origin rays against triangles [lo, hi).
 
     o3: (3,) rest-frame spatial origin; d3: (3, N) rest-frame spatial dirs.
@@ -154,15 +180,29 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
     scale = norm3(d)
     dh = d / scale
 
-    consts, c_t, T, T_pad = shared_origin_constants(mesh, tri_range, ro)
-
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
-    if use_pallas:
-        from .pallas.mesh_kernels import shared_nearest_hit
+    if not use_pallas:
+        perm = None  # the jnp fallback does its own finalize gathers by tri id
+    consts, c_t, T, T_pad = shared_origin_constants(mesh, tri_range, ro, perm)
 
-        bt, bu, bv, btri = shared_nearest_hit(consts, c_t, dh)
-        return finalize_best_hit(mesh, lo, m4, inv_m, o3, d3, ro, dh, bt, bu, bv, btri)
+    if use_pallas:
+        from .pallas.mesh_kernels import chunk_spheres, shared_nearest_hit
+
+        A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
+        attrs = tri_attr_matrix(mesh, tri_range, T_pad, perm)
+        spheres = chunk_spheres(A, B, C, T, T_pad)
+        bt, bu, bv, btri, battr = shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro)
+        valid = bt < INF
+        # attr(u, v) = base + u*du + v*dv (see tri_attr_matrix)
+        interp = battr[0:5] + bu * battr[5:10] + bv * battr[10:15]
+        normal = normalize3(apply_normal3(inv_m, interp[0:3]))
+        uv = interp[3:5]
+        obj_pt = ro[:, None] + bt * dh
+        world_pt = apply_affine3(m4, obj_pt)
+        t = norm3(world_pt - o3[:, None]) / norm3(d3)
+        t = jnp.where(valid, t, INF)
+        return t, normal, uv, valid
 
     Tc = min(tri_chunk, T_pad)
     n_chunks = T_pad // Tc
@@ -235,7 +275,7 @@ def finalize_best_hit(mesh, lo, m4, inv_m, o3, d3, ro, dh, bt, bu, bv, btri):
 
 
 def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
-                       use_pallas=None):
+                       use_pallas=None, perm=None):
     """Minimum hit parameter t for rays with per-ray origins (shadow rays).
 
     o3: (3, N) rest-frame spatial origins; d3: (3, N) spatial dirs.
@@ -259,14 +299,18 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
     )
     r10 = jnp.concatenate([dh, mom, ro, jnp.ones((1, n))], axis=0)  # (10, N)
 
-    cols, T, T_pad = general_ray_constants(mesh, tri_range)  # (4*T_pad, 10)
-
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
-    if use_pallas:
-        from .pallas.mesh_kernels import general_min_t
+    if not use_pallas:
+        perm = None
+    cols, T, T_pad = general_ray_constants(mesh, tri_range, perm)
 
-        bt = general_min_t(cols, r10)
+    if use_pallas:
+        from .pallas.mesh_kernels import chunk_spheres, general_min_t
+
+        A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
+        spheres = chunk_spheres(A, B, C, T, T_pad)
+        bt = general_min_t(cols, spheres, r10)
     else:
         Tc = min(tri_chunk, T_pad)
         n_chunks = T_pad // Tc

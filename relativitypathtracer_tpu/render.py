@@ -154,9 +154,10 @@ def intersect_scene(scene: Scene, meta: SceneMeta, L, stat_cam, dir4):
 
     for k, i in enumerate(meta.mesh_ids):
         d4 = L[i] @ dir4  # (4, N)
+        perm = jnp.asarray(meta.mesh_perms[k], jnp.int32) if meta.mesh_perms[k] else None
         t, n, uv, valid = mesh_intersect_shared(
             scene.mesh, meta.mesh_tri_ranges[k], objects.m[i], objects.inv_m[i],
-            stat_cam[i, 1:4], d4[1:4],
+            stat_cam[i, 1:4], d4[1:4], perm=perm,
         )
         cand = (t, n, uv, jnp.full((n_rays,), i, jnp.int32))
         best = _merge_best(best, cand)
@@ -190,9 +191,10 @@ def scene_min_t(scene: Scene, meta: SceneMeta, L, origins4, dir3, interval: int,
             continue
         o4 = L[i] @ origins4
         d4 = L[i] @ dir4
+        perm = jnp.asarray(meta.mesh_perms[k], jnp.int32) if meta.mesh_perms[k] else None
         t = mesh_min_t_general(
             scene.mesh, meta.mesh_tri_ranges[k], objects.m[i], objects.inv_m[i],
-            o4[1:4], d4[1:4],
+            o4[1:4], d4[1:4], perm=perm,
         )
         best = jnp.minimum(best, t)
     return best
@@ -286,26 +288,62 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     return color, aux
 
 
+TILE = 32  # pixel tile edge; tiles become ray blocks with tight bounding cones
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def tile_swizzle(img_vec, ph, pw):
+    """(k, PH*PW) row-major pixel axis -> tile-major order (32x32 tiles)."""
+    k = img_vec.shape[0]
+    x = img_vec.reshape(k, ph // TILE, TILE, pw // TILE, TILE)
+    return x.transpose(0, 1, 3, 2, 4).reshape(k, ph * pw)
+
+
+def tile_unswizzle(img_vec, ph, pw):
+    """Inverse of tile_swizzle."""
+    k = img_vec.shape[0]
+    x = img_vec.reshape(k, ph // TILE, pw // TILE, TILE, TILE)
+    return x.transpose(0, 1, 3, 2, 4).reshape(k, ph * pw)
+
+
 @functools.lru_cache(maxsize=64)
 def build_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
                     msaa: int = 1, with_aux: bool = False):
     """Compile a frame renderer specialized to (scene meta, resolution,
     interval). Returns render(scene, state) -> (H, W, 3) float image
-    (bottom-up row order, matching the reference's GL output)."""
+    (bottom-up row order, matching the reference's GL output).
+
+    Internally the pixel grid is padded to 32x32 tiles and rays are processed
+    in tile-major order, so every 1024-ray block seen by the Pallas mesh
+    kernels is a compact screen tile with a tight bounding cone (effective
+    chunk culling). The padding is cropped after shading.
+    """
+    ph = _round_up(height, TILE)
+    pw = _round_up(width, TILE)
 
     def render(scene: Scene, state: FrameState):
+        # f32 matmul semantics: TPU's default bf16-pass matmuls lose ~1e-3
+        # relative precision, visibly off vs the fp32 reference; force exact.
+        with jax.default_matmul_precision("highest"):
+            return _render_body(scene, state)
+
+    def _render_body(scene: Scene, state: FrameState):
         L, inv_L, stat_cam = object_frames(scene.objects, state)
-        dirs = camera_ray_dirs(width, height, msaa)  # (S?, H, W, 3)
+        dirs = camera_ray_dirs(width, height, msaa, pad_width=pw, pad_height=ph)
         dirs_samples = dirs[None] if msaa == 1 else dirs
-        acc = jnp.zeros((3, height * width))
+        acc = jnp.zeros((3, ph * pw))
         aux_acc = None
         for s in range(dirs_samples.shape[0]):
-            d = dirs_samples[s].reshape(-1, 3).T  # (3, N)
+            d = tile_swizzle(dirs_samples[s].reshape(-1, 3).T, ph, pw)  # (3, N)
             c, aux = shade(scene, meta, L, inv_L, stat_cam, d, interval)
             acc = acc + c
             aux_acc = aux if aux_acc is None else jax.tree.map(jnp.add, aux_acc, aux)
-        color = acc / float(dirs_samples.shape[0])
-        img = tonemap(color.T, scene.white_point).reshape(height, width, 3)
+        color = tile_unswizzle(acc / float(dirs_samples.shape[0]), ph, pw)
+        img = tonemap(color.T, scene.white_point).reshape(ph, pw, 3)
+        img = img[:height, :width]
         if with_aux:
             return img, aux_acc
         return img
