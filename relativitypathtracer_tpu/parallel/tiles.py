@@ -1,0 +1,79 @@
+"""Multi-chip rendering: shard the pixel grid across a device mesh.
+
+The reference is strictly single-device (one OpenCL device,
+/root/reference/CLSetup.cpp:86-98); its only parallelism is the flat NDRange
+over pixels. The TPU-native scale-out of that axis is data-parallel row-bands
+over an ICI mesh: each chip renders a horizontal band of the image with the
+scene pytree replicated, and the full frame materializes sharded across
+devices (an all-gather only happens if the host fetches it). No collectives
+are needed during the frame: rays never cross tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.7 exposes shard_map at top level; fall back for older
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..models.scene import Scene, SceneMeta
+from ..ops.camera import camera_ray_dirs
+from ..ops.tonemap import tonemap
+from ..render import FrameState, TILE, _round_up, object_frames, shade, tile_swizzle, tile_unswizzle
+
+
+def build_sharded_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
+                            mesh: Mesh, axis: str = "tiles"):
+    """Compile a renderer that splits the image into horizontal bands across
+    `mesh` (1D). Returns render(scene, state) -> (H, W, 3) float image.
+
+    The band height is padded so every device gets an equal multiple of the
+    32-pixel tile; the padding is cropped after the gather.
+    """
+    n_dev = mesh.shape[axis]
+    pw = _round_up(width, TILE)
+    band_h = _round_up(-(-height // n_dev), TILE)
+    ph = band_h * n_dev
+
+    def band_render(scene: Scene, state: FrameState):
+        # Runs per-device: render rows [band * band_h, (band+1) * band_h).
+        band = jax.lax.axis_index(axis)
+        L, inv_L, stat_cam = object_frames(scene.objects, state)
+        dirs = camera_ray_dirs(width, height, pad_width=pw, pad_height=ph)  # (PH, PW, 3)
+        band_dirs = jax.lax.dynamic_slice_in_dim(dirs, band * band_h, band_h, 0)
+        d = tile_swizzle(band_dirs.reshape(-1, 3).T, band_h, pw)
+        with jax.default_matmul_precision("highest"):
+            color, _aux = shade(scene, meta, L, inv_L, stat_cam, d, interval)
+        color = tile_unswizzle(color, band_h, pw)
+        img = tonemap(color.T, scene.white_point).reshape(band_h, pw, 3)
+        return img
+
+    sharded = shard_map(
+        band_render,
+        mesh=mesh,
+        in_specs=(P(), P()),  # scene + state replicated
+        out_specs=P(axis, None, None),  # bands concatenated over rows
+        check_vma=False,  # scan carries start replicated and become varying
+    )
+
+    @jax.jit
+    def render(scene: Scene, state: FrameState):
+        img = sharded(scene, state)  # (PH, PW, 3), row-sharded
+        return img[:height, :width]
+
+    return render
+
+
+def default_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devs), (axis,))

@@ -1,0 +1,55 @@
+"""Multi-device sharded rendering tests (8 virtual CPU devices, conftest)."""
+
+import jax
+import numpy as np
+import pytest
+
+from relativitypathtracer_tpu import FrameState, build_scene, load_scene_file, render_frame
+from relativitypathtracer_tpu.parallel.tiles import build_sharded_render_fn, default_mesh
+
+
+@pytest.fixture(scope="module")
+def cube_scene(reference_root):
+    host = load_scene_file(str(reference_root / "Scenes" / "cube.txt"))
+    return build_scene(host)
+
+
+def test_virtual_device_count():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single_device(cube_scene, reference_root):
+    scene, meta = cube_scene
+    W, H = 192, 96
+    state = FrameState.initial()
+    single = np.asarray(render_frame(scene, meta, state, W, H))
+    mesh = default_mesh(8)
+    render = build_sharded_render_fn(meta, W, H, meta.default_interval, mesh)
+    sharded = np.asarray(render(scene, state))
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
+def test_sharded_mesh_scene(reference_root):
+    host = load_scene_file(str(reference_root / "Scenes" / "shadows.txt"))
+    scene, meta = build_scene(host)
+    W, H = 128, 64
+    state = FrameState.initial()
+    single = np.asarray(render_frame(scene, meta, state, W, H))
+    mesh = default_mesh(4)
+    render = build_sharded_render_fn(meta, W, H, meta.default_interval, mesh)
+    sharded = np.asarray(render(scene, state))
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
+def test_sharded_uneven_height(cube_scene):
+    # height not divisible by n_dev * 32: padding + crop must still line up
+    scene, meta = cube_scene
+    W, H = 96, 100
+    state = FrameState.initial()
+    single = np.asarray(render_frame(scene, meta, state, W, H))
+    mesh = default_mesh(8)
+    render = build_sharded_render_fn(meta, W, H, meta.default_interval, mesh)
+    sharded = np.asarray(render(scene, state))
+    assert sharded.shape == (100, 96, 3)
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
