@@ -275,10 +275,12 @@ def finalize_best_hit(mesh, lo, m4, inv_m, o3, d3, ro, dh, bt, bu, bv, btri):
 
 
 def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
-                       use_pallas=None, perm=None):
+                       use_pallas=None, perm=None, tmax=None):
     """Minimum hit parameter t for rays with per-ray origins (shadow rays).
 
     o3: (3, N) rest-frame spatial origins; d3: (3, N) spatial dirs.
+    tmax: optional (N,) search bound in ray-parameter units (the light
+    distance for shadow rays); hits beyond it need not be found exactly.
     Returns t (N,), INF where no hit, converted to the shared ray parameter.
     """
     n = d3.shape[1]
@@ -310,7 +312,16 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
 
         A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
         spheres = chunk_spheres(A, B, C, T, T_pad)
-        bt = general_min_t(cols, spheres, r10)
+        tmax_obj = None
+        if tmax is not None:
+            # Convert the t-parameter bound to object-space distance: along a
+            # ray, t = bt * |M3 dh| / |d3| (M maps object space back to the
+            # rest frame and the origin is a fixed point of the round trip).
+            # 0.1% margin keeps the no-hit result strictly beyond the caller's
+            # `t < tmax` test (hits inside the margin fail it anyway).
+            k_r = norm3(apply_linear3(m4, dh))
+            tmax_obj = tmax * norm3(d3) / k_r * 1.001 + 1e-3
+        bt = general_min_t(cols, spheres, r10, tmax_obj)
     else:
         Tc = min(tri_chunk, T_pad)
         n_chunks = T_pad // Tc

@@ -76,11 +76,15 @@ def _mt_mask(det, u, v, dist, tri_ok):
     )
 
 
-def _shared_kernel(meta_ref, cone_ref, consts_ref, ct_ref, attr_ref, dh_ref,
+def _shared_kernel(meta_ref, order_ref, mind_ref, cone_ref, consts_ref, ct_ref,
+                   attr_ref, dh_ref,
                    t_ref, u_ref, v_ref, tri_ref, attr_out_ref,
                    *, T: int, T_pad: int):
     """meta_ref (SMEM): per-chunk bounding spheres (n_chunks, 4) cx cy cz r.
-    cone_ref (SMEM): this block's cone (8,): ox oy oz ax ay az cos_a pad."""
+    order_ref/mind_ref (SMEM): chunks sorted front-to-back from the shared
+    apex + each chunk's minimum apex distance, enabling early termination
+    once every ray in the block has a closer hit.
+    cone_ref (SMEM): per-block cones (n_blocks, 8): ox oy oz ax ay az cos_a."""
     dh = dh_ref[:]  # (3, NB)
     nb = dh.shape[1]
     n_chunks = T_pad // TC
@@ -93,9 +97,11 @@ def _shared_kernel(meta_ref, cone_ref, consts_ref, ct_ref, attr_ref, dh_ref,
     az = cone_ref[blk, 5]
     cos_a = cone_ref[blk, 6]
 
-    def body(k, carry):
+    def body(j, carry):
+        k = order_ref[j]
+
         def live(carry):
-            best_t, best_u, best_v, best_tri, best_attr = carry
+            best_t, best_u, best_v, best_tri, best_attr, _mb = carry
             base = k * TC
             cd = consts_ref[pl.ds(base, TC), :]  # (Tc, 3)
             cu = consts_ref[pl.ds(T_pad + base, TC), :]
@@ -128,19 +134,24 @@ def _shared_kernel(meta_ref, cone_ref, consts_ref, ct_ref, attr_ref, dh_ref,
                 attrs, jnp.where(onehot, 1.0, 0.0), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (15, NB)
+            new_t = jnp.where(better, dmin, best_t)
             return (
-                jnp.where(better, dmin, best_t),
+                new_t,
                 jnp.where(better, umin, best_u),
                 jnp.where(better, vmin, best_v),
                 jnp.where(better, base + idx, best_tri),
                 jnp.where(better[None, :], attr_sel, best_attr),
+                jnp.max(new_t),
             )
 
-        base = k * TC
         hit = _chunk_overlaps_cone(
             meta_ref[k, 0], meta_ref[k, 1], meta_ref[k, 2], meta_ref[k, 3],
             ax, ay, az, cos_a, ox, oy, oz,
         )
+        # Early termination: chunks are front-to-back, so once every ray in
+        # the block has a hit closer than this chunk's nearest point, all
+        # remaining chunks are behind the found surfaces.
+        hit = hit & (mind_ref[k] <= carry[5])
         return jax.lax.cond(hit, live, lambda c: c, carry)
 
     init = (
@@ -149,8 +160,9 @@ def _shared_kernel(meta_ref, cone_ref, consts_ref, ct_ref, attr_ref, dh_ref,
         jnp.zeros((nb,), jnp.float32),
         jnp.zeros((nb,), jnp.int32),
         jnp.zeros((N_ATTR, nb), jnp.float32),
+        jnp.float32(INF),
     )
-    bt, bu, bv, btri, battr = jax.lax.fori_loop(0, n_chunks, body, init)
+    bt, bu, bv, btri, battr, _ = jax.lax.fori_loop(0, n_chunks, body, init)
     t_ref[0, :] = bt
     u_ref[0, :] = bu
     v_ref[0, :] = bv
@@ -202,6 +214,13 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro):
     dh_p = jnp.pad(dh, ((0, 0), (0, n_pad - n)), constant_values=1.0)
     cones = block_cones(dh_p, ro)  # (n_blocks, 8)
 
+    # Front-to-back chunk order from the shared apex (identical for every
+    # block because all rays share the origin).
+    dc = spheres[:, :3] - ro[None, :]
+    mind = jnp.maximum(jnp.sqrt(jnp.sum(dc * dc, axis=1)) - spheres[:, 3], 0.0)
+    order = jnp.argsort(mind).astype(jnp.int32)
+    mind_sorted_src = mind  # indexed by chunk id inside the kernel
+
     kernel = functools.partial(_shared_kernel, T=T_pad, T_pad=T_pad)
     out_vec = pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
     bt, bu, bv, btri, battr = pl.pallas_call(
@@ -209,6 +228,8 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro):
         grid=(n_pad // NB,),
         in_specs=[
             pl.BlockSpec((T_pad // TC, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (n_chunks,) order
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (n_chunks,) min distance
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (n_blocks, 8) cones
             pl.BlockSpec((consts.shape[0], 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -224,11 +245,11 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro):
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((N_ATTR, n_pad), jnp.float32),
         ),
-    )(spheres, cones, consts, c_t[None, :], attrs, dh_p)
+    )(spheres, order, mind_sorted_src, cones, consts, c_t[None, :], attrs, dh_p)
     return bt[0, :n], bu[0, :n], bv[0, :n], btri[0, :n], battr[:, :n]
 
 
-def _general_kernel(meta_ref, cone_ref, cols_ref, r10_ref, t_ref,
+def _general_kernel(meta_ref, cone_ref, cols_ref, r10_ref, tmax_ref, t_ref,
                     *, T: int, T_pad: int):
     r10 = r10_ref[:]  # (10, NB)
     nb = r10.shape[1]
@@ -267,11 +288,17 @@ def _general_kernel(meta_ref, cone_ref, cols_ref, r10_ref, t_ref,
             meta_ref[k, 0], meta_ref[k, 1], meta_ref[k, 2], meta_ref[k, 3] + o_rad,
             ax, ay, az, cos_a, ox, oy, oz,
         )
+        # Skip chunks entirely beyond every ray's current bound (for shadow
+        # rays the bound starts at the light distance, so occluder search
+        # never looks past the light).
+        dx = meta_ref[k, 0] - ox
+        dy = meta_ref[k, 1] - oy
+        dz = meta_ref[k, 2] - oz
+        mind = jnp.sqrt(dx * dx + dy * dy + dz * dz) - meta_ref[k, 3] - o_rad
+        hit = hit & (mind <= jnp.max(best_t))
         return jax.lax.cond(hit, live, lambda c: c, best_t)
 
-    t_ref[0, :] = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.full((nb,), INF, jnp.float32)
-    )
+    t_ref[0, :] = jax.lax.fori_loop(0, n_chunks, body, tmax_ref[0, :])
 
 
 def general_block_cones(dh, ro):
@@ -292,15 +319,20 @@ def general_block_cones(dh, ro):
 
 
 @jax.jit
-def general_min_t(cols_grouped, spheres, r10):
+def general_min_t(cols_grouped, spheres, r10, tmax_obj=None):
     """cols_grouped: (4*T_pad, 10) factor-grouped; spheres: (n_chunks, 4);
-    r10: (10, N) lifted rays [dh, o x dh, o, 1]. Returns per-ray min
+    r10: (10, N) lifted rays [dh, o x dh, o, 1]; tmax_obj: optional (N,)
+    object-space search bound per ray (e.g. the light distance for shadow
+    rays) -- the result is min(nearest hit, tmax_obj). Returns per-ray min
     object-space distance."""
     T_pad = cols_grouped.shape[0] // 4
     n = r10.shape[1]
     n_pad = _round_up(n, NB)
     r10_p = jnp.pad(r10, ((0, 0), (0, n_pad - n)), constant_values=1.0)
     cones = general_block_cones(r10_p[0:3], r10_p[6:9])
+    if tmax_obj is None:
+        tmax_obj = jnp.full((n,), INF, jnp.float32)
+    tmax_p = jnp.pad(tmax_obj, (0, n_pad - n))[None, :]
 
     kernel = functools.partial(_general_kernel, T=T_pad, T_pad=T_pad)
     bt = pl.pallas_call(
@@ -311,8 +343,9 @@ def general_min_t(cols_grouped, spheres, r10):
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (n_blocks, 8) cones
             pl.BlockSpec((cols_grouped.shape[0], 10), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((10, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-    )(spheres, cones, cols_grouped, r10_p)
+    )(spheres, cones, cols_grouped, r10_p, tmax_p)
     return bt[0, :n]

@@ -166,10 +166,12 @@ def intersect_scene(scene: Scene, meta: SceneMeta, L, stat_cam, dir4):
     return t, normal, uv, obj, t < INF
 
 
-def scene_min_t(scene: Scene, meta: SceneMeta, L, origins4, dir3, interval: int, exclude_id: int):
+def scene_min_t(scene: Scene, meta: SceneMeta, L, origins4, dir3, interval: int, exclude_id: int,
+                tmax=None):
     """Minimum hit parameter over all objects except `exclude_id`, for shadow
     rays with per-ray origins. Mirrors sample_light
-    (/root/reference/opencl_kernel.cl:488-545)."""
+    (/root/reference/opencl_kernel.cl:488-545). `tmax` optionally bounds the
+    search (occlusion only matters closer than the light)."""
     objects = scene.objects
     n_rays = origins4.shape[1]
     dir4 = jnp.concatenate(
@@ -194,7 +196,7 @@ def scene_min_t(scene: Scene, meta: SceneMeta, L, origins4, dir3, interval: int,
         perm = jnp.asarray(meta.mesh_perms[k], jnp.int32) if meta.mesh_perms[k] else None
         t = mesh_min_t_general(
             scene.mesh, meta.mesh_tri_ranges[k], objects.m[i], objects.inv_m[i],
-            o4[1:4], d4[1:4], perm=perm,
+            o4[1:4], d4[1:4], perm=perm, tmax=tmax,
         )
         best = jnp.minimum(best, t)
     return best
@@ -250,9 +252,14 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
         # (opencl_kernel.cl:575-580).
         inv_L_hit = gather_mats(inv_L, obj_onehot_f)
         ray_dir_of = apply44_perpixel(L_hit, dir4)
-        hit_pos_of = stat_cam_hit + ray_dir_of * t
+        # Miss lanes carry t = INF; clamp so the (masked-out) lighting math
+        # stays finite -- a NaN would poison block-wide reduces in the
+        # shadow kernel's early-termination test.
+        t_safe = jnp.where(did_hit, t, 0.0)
+        normal_safe = jnp.where(did_hit[None, :], normal, 0.0)
+        hit_pos_of = stat_cam_hit + ray_dir_of * t_safe
         hit_pos_of = hit_pos_of + jnp.concatenate(
-            [jnp.zeros((1, n_rays)), normal * 0.001], axis=0
+            [jnp.zeros((1, n_rays)), normal_safe * 0.001], axis=0
         )
         hit_pos = apply44_perpixel(inv_L_hit, hit_pos_of)  # (4, N) camera frame
 
@@ -270,7 +277,7 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
             ndotl = jnp.sum(normal * normalize3(ld3_of), axis=0)
 
             tmax = norm3(ld[1:4])
-            occ_t = scene_min_t(scene, meta, L, hit_pos, ld[1:4], interval, i)
+            occ_t = scene_min_t(scene, meta, L, hit_pos, ld[1:4], interval, i, tmax=tmax)
             lit = occ_t >= tmax
 
             llen = norm3(ld3_of)
