@@ -84,7 +84,7 @@ def shared_origin_constants(mesh, tri_range, ro, perm=None):
     c_u = _cross_cols(e2, ro[None, :] - A)
     c_t = jnp.sum(e2 * qvec, axis=-1)
 
-    T_pad = _round_up(max(T, 1), 128)
+    T_pad = _round_up(max(T, 1), 256)  # multiple of the Pallas chunk size TC
     pad = T_pad - T
     c_det = jnp.pad(c_det, ((0, pad), (0, 0)))
     c_u = jnp.pad(c_u, ((0, pad), (0, 0)))
@@ -131,7 +131,7 @@ def general_ray_constants(mesh, tri_range, perm=None):
     col_v = jnp.concatenate([-_cross_cols(A, e1), -e1, zeros, zcol], axis=-1)
     tnum_c = -jnp.sum(e2 * _cross_cols(A, e1), axis=-1)
     col_t = jnp.concatenate([zeros, zeros, _cross_cols(e1, e2), tnum_c[:, None]], axis=-1)
-    T_pad = _round_up(max(T, 1), 128)
+    T_pad = _round_up(max(T, 1), 256)  # multiple of the Pallas chunk size TC
 
     def padrows(x):
         return jnp.pad(x, ((0, T_pad - T), (0, 0)))
@@ -193,7 +193,7 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
         attrs = tri_attr_matrix(mesh, tri_range, T_pad, perm)
         spheres = chunk_spheres(A, B, C, T, T_pad)
         bt, bu, bv, btri, battr = shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro)
-        valid = bt < INF
+        valid = btri >= 0  # kernel init is -1; any real hit overwrites it
         # attr(u, v) = base + u*du + v*dv (see tri_attr_matrix)
         interp = battr[0:5] + bu * battr[5:10] + bv * battr[10:15]
         normal = normalize3(apply_normal3(inv_m, interp[0:3]))
