@@ -70,7 +70,7 @@ class Scene(NamedTuple):
     objects: ObjectsSoA
     mesh: MeshArrays
     textures: jnp.ndarray  # (B,) uint8 interleaved-RGB atlas
-    textures_packed: jnp.ndarray  # (R, 128) uint32 rows of R|G<<8|B<<16 texels
+    textures_packed: jnp.ndarray  # (R, 8) uint32 rows of R|G<<8|B<<16 texels
     white_point: jnp.ndarray  # (3,) f32
     ambient: jnp.ndarray  # () f32
 
@@ -202,8 +202,8 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
         | (tex_np[1::3].astype(np.uint32) << 8)
         | (tex_np[2::3].astype(np.uint32) << 16)
     )
-    rows = -(-len(packed) // 128)
-    packed = np.pad(packed, (0, rows * 128 - len(packed))).reshape(rows, 128)
+    rows = -(-len(packed) // 8)
+    packed = np.pad(packed, (0, rows * 8 - len(packed))).reshape(rows, 8)
     scene = Scene(
         objects=objects, mesh=mesh, textures=textures,
         textures_packed=jnp.asarray(packed),

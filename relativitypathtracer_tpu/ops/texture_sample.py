@@ -57,10 +57,10 @@ def bilinear_sample(atlas, offset, width, height, uv):
 def bilinear_sample_packed(atlas_u32, offset_texels, width, height, uv):
     """Bilinear sample from the RGB-packed uint32 atlas.
 
-    atlas_u32: (R, 128) uint32 rows (flat texel index = 128*row + lane) --
-    element gathers on TPU cost ~8ns each, but a whole-row gather runs near
-    memory bandwidth, so each tap is one row gather + a one-hot lane select
-    (~2.5x faster than element gathers). Texel layout: R | G<<8 | B<<16.
+    atlas_u32: (R, 8) uint32 rows (flat texel index = 8*row + lane).
+    Element gathers on TPU cost ~8ns each; row gathers of 32-byte rows
+    ((N, 8) u32) hit a fast path ~20x cheaper, so each tap is one row gather
+    + a one-hot 8-lane select. Texel layout: R | G<<8 | B<<16.
 
     offset_texels: (N,) int32 (byte offset / 3); uv: (2, N).
     Returns (3, N) float RGB in [0, 1].
@@ -82,13 +82,13 @@ def bilinear_sample_packed(atlas_u32, offset_texels, width, height, uv):
     y1 = jnp.clip(y0 + 1, 0, h - 1)
     x2 = jnp.clip(x1 - 1, 0, w - 1)  # reference tap quirk preserved
 
-    limit = atlas_u32.shape[0] * 128 - 1
+    limit = atlas_u32.shape[0] * 8 - 1
     n = uv.shape[1]
 
     def fetch(xi, yi):
         idx = jnp.clip(offset_texels + w * yi + xi, 0, limit)
-        rows = jnp.take(atlas_u32, idx >> 7, axis=0)  # (N, 128) row gather
-        lane = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1) == (idx & 127)[:, None]
+        rows = jnp.take(atlas_u32, idx >> 3, axis=0)  # (N, 8) row gather
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n, 8), 1) == (idx & 7)[:, None]
         packed = jnp.sum(jnp.where(lane, rows, 0), axis=1)
         r = (packed & 0xFF).astype(jnp.float32)
         g = ((packed >> 8) & 0xFF).astype(jnp.float32)

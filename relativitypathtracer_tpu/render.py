@@ -106,11 +106,11 @@ def _group_nearest(intersect_fn, ids, inv_m, o3, d3):
     gi = jnp.argmin(t, axis=0)  # (N,)
     onehot = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) == gi[None, :]
     t_min = jnp.min(t, axis=0)
-    sel = jnp.where(onehot[:, None, :], 1.0, 0.0)  # (G, 1, N)
     n_min = jnp.sum(jnp.where(onehot[:, None, :], nrm, 0.0), axis=0)
     uv_min = jnp.sum(jnp.where(onehot[:, None, :], uv, 0.0), axis=0)
-    del sel
-    obj = jnp.asarray(ids, jnp.int32)[gi]
+    # one-hot select, NOT ids[gi]: element gathers cost ~8ns/ray on TPU
+    ids_col = jnp.asarray(ids, jnp.int32)[:, None]
+    obj = jnp.sum(jnp.where(onehot, ids_col, 0), axis=0)
     return t_min, n_min, uv_min, obj
 
 
@@ -219,13 +219,18 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     obj_onehot_f = obj_onehot.astype(jnp.float32)
 
     # --- surface color: texture or flat, then proper-time flash (x2) ---
-    tex_off = objects.tex_offset[obj]
+    # Per-pixel object attributes via one-hot selects/matmuls -- never
+    # `table[obj]` element gathers (~8ns/ray each on TPU).
+    def sel_i32(table):
+        return jnp.sum(jnp.where(obj_onehot, jnp.asarray(table, jnp.int32)[:, None], 0), axis=0)
+
+    tex_off = sel_i32(objects.tex_offset)
     textured = tex_off != -1
     tex_rgb = bilinear_sample_packed(
         scene.textures_packed,
         jnp.maximum(tex_off, 0) // 3,
-        jnp.maximum(objects.tex_w[obj], 1),
-        jnp.maximum(objects.tex_h[obj], 1),
+        jnp.maximum(sel_i32(objects.tex_w), 1),
+        jnp.maximum(sel_i32(objects.tex_h), 1),
         uv,
     )
     flat_rgb = jnp.matmul(objects.color.T, obj_onehot_f)  # (3, N)
@@ -243,7 +248,7 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     # --- ambient + emissive (opencl_kernel.cl:567-571) ---
     ambient = scene.ambient if interval != 0 else jnp.float32(1.0)
     color = hit_color * ambient
-    is_light = objects.light[obj]
+    is_light = jnp.sum(jnp.where(obj_onehot, objects.light[:, None], False), axis=0)
     color = color + jnp.where(is_light[None, :], hit_color, 0.0)
 
     shadow_rays = jnp.zeros((), jnp.int32)
