@@ -71,6 +71,8 @@ class Scene(NamedTuple):
     mesh: MeshArrays
     textures: jnp.ndarray  # (B,) uint8 interleaved-RGB atlas
     textures_packed: jnp.ndarray  # (R, 8) uint32 rows of R|G<<8|B<<16 texels
+    tex_quads: jnp.ndarray  # (Rq, 8) uint32 footprint atlas: 4 texels per (x0, y0)
+    tex_quad_base: jnp.ndarray  # (O,) int32 per-object footprint-atlas base quad
     white_point: jnp.ndarray  # (3,) f32
     ambient: jnp.ndarray  # () f32
 
@@ -92,6 +94,7 @@ class SceneMeta:
     num_tris: int
     num_nodes: int
     max_octree_depth: int
+    use_footprint_tex: bool = True  # small textures: 1-gather footprint atlas
 
 
 def _morton_perm(verts: np.ndarray, tri_v: np.ndarray, lo: int, hi: int) -> tuple:
@@ -117,6 +120,49 @@ def _morton_perm(verts: np.ndarray, tri_v: np.ndarray, lo: int, hi: int) -> tupl
 
     code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
     return tuple(int(i) for i in np.argsort(code, kind="stable"))
+
+
+def _footprint_atlas(packed_texels: np.ndarray, texture_values: list):
+    """Precompute the reference's exact 4-tap bilinear footprint per integer
+    (x0, y0): taps [(x0,y0), (x1,y0), (x1,y1), (x2,y1)] with x1=clip(x0+1),
+    y1=clip(y0+1), x2=clip(x1-1) (the reference's border quirk,
+    opencl_kernel.cl:427-470) stored as 4 consecutive u32 texels. One 32-byte
+    row gather then fetches a pixel's whole footprint -- gathers are the
+    texturing bottleneck on TPU (~2.6ms per 786k-ray tap via XLA).
+
+    Returns ((Rq, 8) u32 atlas, {byte_offset: base_quad_index})."""
+    quads = []
+    base_by_offset = {}
+    total = 0
+    B = 16  # 16x16-texel blocks: screen-coherent samples hit compact memory
+    for k in range(0, len(texture_values), 3):
+        off, w, h = texture_values[k], texture_values[k + 1], texture_values[k + 2]
+        tex = packed_texels[off // 3: off // 3 + w * h].reshape(h, w)
+        x0 = np.broadcast_to(np.arange(w)[None, :], (h, w))
+        y0 = np.broadcast_to(np.arange(h)[:, None], (h, w))
+        x1 = np.clip(x0 + 1, 0, w - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        x2 = np.clip(x1 - 1, 0, w - 1)
+        foot = np.stack(
+            [tex, tex[y0, x1], tex[y1, x1], tex[y1, x2]], axis=-1
+        )  # (h, w, 4)
+        # block-tiled slot: (by, bx, y&15, x&15) with dims padded to 16
+        wb = -(-w // B)
+        hb = -(-h // B)
+        tiled = np.zeros((hb * B, wb * B, 4), np.uint32)
+        tiled[:h, :w] = foot
+        tiled = (
+            tiled.reshape(hb, B, wb, B, 4).transpose(0, 2, 1, 3, 4).reshape(-1, 4)
+        )
+        base_by_offset[int(off)] = total
+        quads.append(tiled.astype(np.uint32))
+        total += hb * wb * B * B
+    if not quads:
+        quads = [np.zeros((2, 4), np.uint32)]
+        total = 2
+    flat = np.concatenate(quads, axis=0).reshape(-1)  # 4 u32 per footprint
+    rows = -(-len(flat) // 8)
+    return np.pad(flat, (0, rows * 8 - len(flat))).reshape(rows, 8), base_by_offset
 
 
 def _f32(x):
@@ -202,11 +248,16 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
         | (tex_np[1::3].astype(np.uint32) << 8)
         | (tex_np[2::3].astype(np.uint32) << 16)
     )
+    quads, quad_base_by_offset = _footprint_atlas(packed, host.texture_values)
     rows = -(-len(packed) // 8)
     packed = np.pad(packed, (0, rows * 8 - len(packed))).reshape(rows, 8)
+    tex_quad_base = np.array(
+        [quad_base_by_offset.get(int(t), 0) for t in tex_offset], np.int32
+    )
     scene = Scene(
         objects=objects, mesh=mesh, textures=textures,
         textures_packed=jnp.asarray(packed),
+        tex_quads=jnp.asarray(quads), tex_quad_base=_i32(tex_quad_base),
         white_point=_f32(host.white_point), ambient=jnp.float32(host.ambient),
     )
 
@@ -231,5 +282,8 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
         num_tris=int(len(tris)),
         num_nodes=int(q) if q else 1,
         max_octree_depth=int(getattr(oct, "max_depth", 0) if oct is not None else 0),
+        # XLA gather cost grows with table size; beyond ~48MB the 4-tap path
+        # on the 4x smaller packed atlas wins over the 1-gather footprint.
+        use_footprint_tex=bool(quads.size * 4 <= 48 * 1024 * 1024),
     )
     return scene, meta

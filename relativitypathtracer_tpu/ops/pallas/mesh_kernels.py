@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 EPSILON = 1e-7
 INF = 1e20
 NB = 1024  # rays per block; VMEM budget ~6 (Tc, NB) f32 intermediates
-TC = 256  # triangles per chunk (culling granularity vs SMEM table size)
+TC = 128  # triangles per chunk (fine culling; rank-3 SMEM tables are cheap)
 N_ATTR = 15  # [normal(3) + uv(2)] x [base, du, dv]
 
 
@@ -107,8 +107,9 @@ def live_chunk_lists(spheres, dh_p, o_p):
     key = jnp.where(overlap, mind, INF)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)  # live first, near to far
     minds = jnp.take_along_axis(key, order, axis=1)
-    counts = jnp.sum(overlap, axis=1).astype(jnp.int32)[:, None]
-    return order, minds, counts
+    counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
+    # rank-3 so per-block rows can be SMEM-windowed by the grid
+    return order[:, None, :], minds[:, None, :], counts[:, None, None]
 
 
 def ray_bounds(spheres, ro_p, dh_p):
@@ -134,26 +135,27 @@ def _mt_mask(det, u, v, dist, tri_ok):
     )
 
 
-def _shared_kernel(order_ref, count_ref, consts_ref, ct_ref,
+def _shared_kernel(order_ref, minds_ref, count_ref, consts_ref, ct_ref,
                    attr_ref, dh_ref, bound_ref,
                    t_ref, u_ref, v_ref, tri_ref, attr_out_ref,
                    *, T: int, T_pad: int):
     """Iterate this block's live chunks (front-to-back) with a while loop
-    of dynamic trip count -- culled chunks genuinely cost nothing.
-    order/count live in SMEM, indexed by program_id."""
+    of dynamic trip count -- culled chunks genuinely cost nothing, and the
+    walk stops early once every lane's current bound is nearer than the next
+    chunk. order/minds/count arrive as per-block (1, 1, n_chunks) SMEM
+    windows (rank-3: leading dims may be blocked freely)."""
     dh = dh_ref[:]  # (3, NB)
     nb = dh.shape[1]
-    blk = pl.program_id(0)
-    n_live = count_ref[blk, 0]
+    n_live = count_ref[0, 0, 0]
     bound_vec = bound_ref[0, :]
 
     def cond(state):
-        j = state[0]
-        return j < n_live
+        j, mb = state[0], state[1]
+        return (j < n_live) & (minds_ref[0, 0, j] <= mb)
 
     def body(state):
         j, mb, best_t, best_u, best_v, best_tri, best_attr = state
-        k = order_ref[blk, j]
+        k = order_ref[0, 0, j]
         base = k * TC
         cd = consts_ref[pl.ds(base, TC), :]  # (Tc, 3)
         cu = consts_ref[pl.ds(T_pad + base, TC), :]
@@ -189,7 +191,7 @@ def _shared_kernel(order_ref, count_ref, consts_ref, ct_ref,
         new_t = jnp.where(better, dmin, best_t)
         return (
             j + 1,
-            jnp.max(jnp.minimum(new_t, bound_vec)),  # reserved for early-term
+            jnp.max(jnp.minimum(new_t, bound_vec)),
             new_t,
             jnp.where(better, umin, best_u),
             jnp.where(better, vmin, best_v),
@@ -236,8 +238,9 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro):
         kernel,
         grid=(n_pad // NB,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # order (n_blocks, n_chunks)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts (n_blocks, 1)
+            pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((consts.shape[0], 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N_ATTR, T_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -253,25 +256,24 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro):
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((N_ATTR, n_pad), jnp.float32),
         ),
-    )(order, counts, consts, c_t[None, :], attrs, dh_p, bound)
+    )(order, minds, counts, consts, c_t[None, :], attrs, dh_p, bound)
     return bt[0, :n], bu[0, :n], bv[0, :n], btri[0, :n], battr[:, :n]
 
 
-def _general_kernel(order_ref, count_ref, cols_ref, r10_ref,
+def _general_kernel(order_ref, minds_ref, count_ref, cols_ref, r10_ref,
                     tmax_ref, t_ref, *, T: int, T_pad: int):
     r10 = r10_ref[:]  # (10, NB)
     nb = r10.shape[1]
-    blk = pl.program_id(0)
-    n_live = count_ref[blk, 0]
+    n_live = count_ref[0, 0, 0]
     tmax = tmax_ref[0, :]
 
     def cond(state):
-        j = state[0]
-        return j < n_live
+        j, mb = state[0], state[1]
+        return (j < n_live) & (minds_ref[0, 0, j] <= mb)
 
     def body(state):
         j, mb, best_t = state
-        k = order_ref[blk, j]
+        k = order_ref[0, 0, j]
         base = k * TC
 
         def prod(m):
@@ -320,13 +322,14 @@ def general_min_t(cols_grouped, spheres, r10, tmax_obj=None):
         kernel,
         grid=(n_pad // NB,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # order
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
+            pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((cols_grouped.shape[0], 10), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((10, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-    )(order, counts, cols_grouped, r10_p, tmax_p)
+    )(order, minds, counts, cols_grouped, r10_p, tmax_p)
     return bt[0, :n]

@@ -98,3 +98,52 @@ def bilinear_sample_packed(atlas_u32, offset_texels, width, height, uv):
     row1 = (fetch(x0, y0) * u_opp + fetch(x1, y0) * u_ratio) * v_opp
     row2 = (fetch(x1, y1) * u_ratio + fetch(x2, y1) * u_opp) * v_ratio
     return row1 + row2
+
+
+def bilinear_sample_footprint(quads, base_quad, width, height, uv):
+    """Bilinear sample via the precomputed footprint atlas: ONE 32-byte row
+    gather per pixel fetches all 4 reference taps (models.scene
+    _footprint_atlas), vs ~2.6ms per separate 786k-ray tap.
+
+    quads: (Rq, 8) uint32 (4 consecutive u32 per (x0, y0) footprint);
+    base_quad: (N,) int32 per-pixel texture base; width/height: (N,) int32;
+    uv: (2, N). Returns (3, N) float RGB in [0, 1].
+    """
+    w = width
+    h = height
+    u = w.astype(jnp.float32) * uv[0]
+    v = h.astype(jnp.float32) * (1.0 - uv[1])
+    x = jnp.minimum(jnp.floor(u).astype(jnp.int32), w - 1)
+    y = jnp.minimum(jnp.floor(v).astype(jnp.int32), h - 1)
+    u_ratio = u - x.astype(jnp.float32)
+    v_ratio = v - y.astype(jnp.float32)
+    u_opp = 1.0 - u_ratio
+    v_opp = 1.0 - v_ratio
+    x0 = jnp.clip(x, 0, w - 1)
+    y0 = jnp.clip(y, 0, h - 1)
+
+    n = uv.shape[1]
+    # block-tiled slot (16x16 texel blocks, dims padded to 16): matches the
+    # layout produced by models.scene._footprint_atlas
+    wb = (w + 15) >> 4
+    slot = (
+        ((y0 >> 4) * wb + (x0 >> 4)) * 256
+        + (y0 & 15) * 16
+        + (x0 & 15)
+    )
+    idx4 = jnp.clip((base_quad + slot) * 4, 0, quads.shape[0] * 8 - 4)
+    rows = jnp.take(quads, idx4 >> 3, axis=0)  # (N, 8)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (n, 8), 1)
+    lb = (idx4 & 7)[:, None]
+
+    def texel(k):
+        packed = jnp.sum(jnp.where(lanes == lb + k, rows, 0), axis=1)
+        r = (packed & 0xFF).astype(jnp.float32)
+        g = ((packed >> 8) & 0xFF).astype(jnp.float32)
+        b = ((packed >> 16) & 0xFF).astype(jnp.float32)
+        return jnp.stack([r, g, b]) / 255.0
+
+    # taps: [(x0,y0), (x1,y0), (x1,y1), (x2,y1)] matching the reference order
+    row1 = texel(0) * u_opp + texel(1) * u_ratio
+    row2 = texel(2) * u_ratio + texel(3) * u_opp
+    return row1 * v_opp + row2 * v_ratio

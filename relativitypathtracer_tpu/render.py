@@ -38,7 +38,7 @@ from .ops.camera import camera_ray_dirs
 from .ops.intersect import INF, cube_intersect, norm3, normalize3, sphere_intersect
 from .ops.mesh_intersect import mesh_intersect_shared, mesh_min_t_general
 from .ops.relmath import lorentz, matmul4, transform4
-from .ops.texture_sample import bilinear_sample_packed
+from .ops.texture_sample import bilinear_sample_footprint, bilinear_sample_packed
 from .ops.tonemap import tonemap
 
 MISS_COLOR = (0.15, 0.15, 0.25)
@@ -226,13 +226,16 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
 
     tex_off = sel_i32(objects.tex_offset)
     textured = tex_off != -1
-    tex_rgb = bilinear_sample_packed(
-        scene.textures_packed,
-        jnp.maximum(tex_off, 0) // 3,
-        jnp.maximum(sel_i32(objects.tex_w), 1),
-        jnp.maximum(sel_i32(objects.tex_h), 1),
-        uv,
-    )
+    tex_w = jnp.maximum(sel_i32(objects.tex_w), 1)
+    tex_h = jnp.maximum(sel_i32(objects.tex_h), 1)
+    if meta.use_footprint_tex:
+        tex_rgb = bilinear_sample_footprint(
+            scene.tex_quads, sel_i32(scene.tex_quad_base), tex_w, tex_h, uv
+        )
+    else:
+        tex_rgb = bilinear_sample_packed(
+            scene.textures_packed, jnp.maximum(tex_off, 0) // 3, tex_w, tex_h, uv
+        )
     flat_rgb = jnp.matmul(objects.color.T, obj_onehot_f)  # (3, N)
     hit_color = jnp.where(textured[None, :], tex_rgb, flat_rgb)
 
@@ -260,7 +263,9 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
         # Miss lanes carry t = INF; clamp so the (masked-out) lighting math
         # stays finite -- a NaN would poison block-wide reduces in the
         # shadow kernel's early-termination test.
-        t_safe = jnp.where(did_hit, t, 0.0)
+        hits_f = jnp.sum(did_hit.astype(jnp.float32))
+        t_mean = jnp.sum(jnp.where(did_hit, t, 0.0)) / jnp.maximum(hits_f, 1.0)
+        t_safe = jnp.where(did_hit, t, t_mean)
         normal_safe = jnp.where(did_hit[None, :], normal, 0.0)
         hit_pos_of = stat_cam_hit + ray_dir_of * t_safe
         hit_pos_of = hit_pos_of + jnp.concatenate(
@@ -336,6 +341,17 @@ def build_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
     ph = _round_up(height, TILE)
     pw = _round_up(width, TILE)
 
+    # Camera rays are state-independent (the camera sits at the origin of its
+    # own frame; boosts happen per object): precompute them once, already
+    # tile-swizzled, and close over the device constant.
+    dirs = camera_ray_dirs(width, height, msaa, pad_width=pw, pad_height=ph)
+    dirs_samples = dirs[None] if msaa == 1 else dirs
+    dirs_const = jnp.stack(
+        [tile_swizzle(dirs_samples[s].reshape(-1, 3).T, ph, pw)
+         for s in range(dirs_samples.shape[0])]
+    )  # (S, 3, N)
+    dirs_const = jax.device_put(dirs_const)
+
     def render(scene: Scene, state: FrameState):
         # f32 matmul semantics: TPU's default bf16-pass matmuls lose ~1e-3
         # relative precision, visibly off vs the fp32 reference; force exact.
@@ -344,16 +360,13 @@ def build_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
 
     def _render_body(scene: Scene, state: FrameState):
         L, inv_L, stat_cam = object_frames(scene.objects, state)
-        dirs = camera_ray_dirs(width, height, msaa, pad_width=pw, pad_height=ph)
-        dirs_samples = dirs[None] if msaa == 1 else dirs
         acc = jnp.zeros((3, ph * pw))
         aux_acc = None
-        for s in range(dirs_samples.shape[0]):
-            d = tile_swizzle(dirs_samples[s].reshape(-1, 3).T, ph, pw)  # (3, N)
-            c, aux = shade(scene, meta, L, inv_L, stat_cam, d, interval)
+        for s in range(dirs_const.shape[0]):
+            c, aux = shade(scene, meta, L, inv_L, stat_cam, dirs_const[s], interval)
             acc = acc + c
             aux_acc = aux if aux_acc is None else jax.tree.map(jnp.add, aux_acc, aux)
-        color = tile_unswizzle(acc / float(dirs_samples.shape[0]), ph, pw)
+        color = tile_unswizzle(acc / float(dirs_const.shape[0]), ph, pw)
         img = tonemap(color.T, scene.white_point).reshape(ph, pw, 3)
         img = img[:height, :width]
         if with_aux:
