@@ -41,13 +41,20 @@ def build_sharded_render_fn(meta: SceneMeta, width: int, height: int, interval: 
     band_h = _round_up(-(-height // n_dev), TILE)
     ph = band_h * n_dev
 
+    # Same eager precompute as build_render_fn so per-pixel results match the
+    # single-device renderer bit-for-bit (jit-fused dir math differs slightly).
+    dirs = camera_ray_dirs(width, height, pad_width=pw, pad_height=ph)  # (PH, PW, 3)
+    dirs_bands = jnp.stack(
+        [tile_swizzle(dirs[b * band_h:(b + 1) * band_h].reshape(-1, 3).T, band_h, pw)
+         for b in range(n_dev)]
+    )  # (n_dev, 3, band_N)
+    dirs_bands = jax.device_put(dirs_bands)
+
     def band_render(scene: Scene, state: FrameState):
         # Runs per-device: render rows [band * band_h, (band+1) * band_h).
         band = jax.lax.axis_index(axis)
         L, inv_L, stat_cam = object_frames(scene.objects, state)
-        dirs = camera_ray_dirs(width, height, pad_width=pw, pad_height=ph)  # (PH, PW, 3)
-        band_dirs = jax.lax.dynamic_slice_in_dim(dirs, band * band_h, band_h, 0)
-        d = tile_swizzle(band_dirs.reshape(-1, 3).T, band_h, pw)
+        d = jax.lax.dynamic_index_in_dim(dirs_bands, band, 0, keepdims=False)
         with jax.default_matmul_precision("highest"):
             color, _aux = shade(scene, meta, L, inv_L, stat_cam, d, interval)
         color = tile_unswizzle(color, band_h, pw)
