@@ -283,7 +283,8 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
         num_nodes=int(q) if q else 1,
         max_octree_depth=int(getattr(oct, "max_depth", 0) if oct is not None else 0),
         # XLA gather cost grows with table size; beyond ~48MB the 4-tap path
-        # on the 4x smaller packed atlas wins over the 1-gather footprint.
+        # on the 4x smaller packed atlas wins over the 1-gather footprint
+        # (real accesses are screen-coherent, so small 32-byte rows win).
         use_footprint_tex=bool(quads.size * 4 <= 48 * 1024 * 1024),
     )
     return scene, meta
