@@ -210,13 +210,95 @@ def _subdivide(oct: OctreeArrays, verts: np.ndarray, tri_v: np.ndarray,
         _subdivide(oct, verts, tri_v, children[i], max_tris_per_vertex, depth - 1, cur_depth + 1)
 
 
+def _native_lib():
+    """ctypes handle to the C++ builder (native/libRptOctree.so), or None."""
+    global _NATIVE
+    if _NATIVE is not NotImplemented:
+        return _NATIVE
+    import ctypes
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native", "libRptOctree.so",
+    )
+    try:
+        lib = ctypes.CDLL(path)
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.rpt_octree_build.restype = ctypes.c_void_p
+        lib.rpt_octree_build.argtypes = [
+            f32p, ctypes.c_int32, i32p, ctypes.c_int32, f32p, f32p, ctypes.c_int32,
+        ]
+        for name in ("rpt_octree_num_nodes", "rpt_octree_pool_size", "rpt_octree_max_depth"):
+            getattr(lib, name).restype = ctypes.c_int32
+            getattr(lib, name).argtypes = [ctypes.c_void_p]
+        lib.rpt_octree_export.restype = None
+        lib.rpt_octree_export.argtypes = [
+            ctypes.c_void_p, f32p, f32p, i32p, i32p, i32p, i32p, i32p,
+        ]
+        lib.rpt_octree_free.restype = None
+        lib.rpt_octree_free.argtypes = [ctypes.c_void_p]
+        _NATIVE = lib
+    except OSError:
+        _NATIVE = None
+    return _NATIVE
+
+
+_NATIVE = NotImplemented
+
+
+def _native_build(oct: OctreeArrays, verts, tri_v, bmin, bmax):
+    """Run the C++ builder and append its output to the shared pools."""
+    lib = _native_lib()
+    verts32 = np.ascontiguousarray(verts, np.float32)
+    tri32 = np.ascontiguousarray(tri_v, np.int32)
+    h = lib.rpt_octree_build(
+        verts32, np.int32(len(verts32)), tri32, np.int32(len(tri32)),
+        np.ascontiguousarray(bmin, np.float32), np.ascontiguousarray(bmax, np.float32),
+        np.int32(MAX_DEPTH),
+    )
+    if not h:
+        raise MemoryError("rpt_octree_build failed")
+    try:
+        q = lib.rpt_octree_num_nodes(h)
+        p = lib.rpt_octree_pool_size(h)
+        node_min = np.empty((q, 3), np.float32)
+        node_max = np.empty((q, 3), np.float32)
+        tris_index = np.empty(q, np.int32)
+        tris_count = np.empty(q, np.int32)
+        children = np.empty((q, 8), np.int32)
+        neighbors = np.empty((q, 6), np.int32)
+        pool = np.empty(p, np.int32)
+        lib.rpt_octree_export(h, node_min, node_max, tris_index, tris_count,
+                              children, neighbors, pool)
+        depth = lib.rpt_octree_max_depth(h)
+    finally:
+        lib.rpt_octree_free(h)
+
+    # Rebase into the shared flat pools (node + pool indices shift).
+    node_base = len(oct.node_min)
+    pool_base = len(oct.oct_tris)
+    oct.node_min.extend(node_min)
+    oct.node_max.extend(node_max)
+    oct.node_tris_index.extend((tris_index + pool_base).tolist())
+    oct.node_tris_count.extend(tris_count.tolist())
+    oct.node_children.extend(np.where(children >= 0, children + node_base, -1).tolist())
+    oct.node_neighbors.extend(np.where(neighbors >= 0, neighbors + node_base, -1).tolist())
+    oct.oct_tris.extend(pool.tolist())
+    oct.max_depth = max(oct.max_depth, int(depth))
+    return node_base
+
+
 def generate_octree(mesh, first_tri_index: int) -> int:
     """Build an octree over the mesh pool starting at flat-stream index
     `first_tri_index`; returns the new root node index.
 
     Mirrors Mesh::GenerateOctree (/root/reference/Mesh.cpp:5-28): bounds span
     only the vertices referenced from `first_tri_index` onward, but the root
-    triangle list is seeded with the ENTIRE pool.
+    triangle list is seeded with the ENTIRE pool. Uses the native C++ builder
+    when native/libRptOctree.so is present (identical output), else the
+    vectorized NumPy path.
     """
     tri_flat = np.asarray(mesh.triangles, np.int64)
     verts = np.asarray(mesh.vertices, np.float32).reshape(-1, 3)
@@ -228,6 +310,9 @@ def generate_octree(mesh, first_tri_index: int) -> int:
     bmax = vs.max(axis=0)
 
     oct = mesh.octree
+    if _native_lib() is not None:
+        return _native_build(oct, verts, tri_v, bmin, bmax)
+
     root = len(oct.node_min)
     total_tris = len(tri_v)
     oct.node_min.append(bmin.astype(np.float32))

@@ -1,0 +1,68 @@
+"""The native C++ octree builder must produce exactly the NumPy builder's
+output (same node order, pools, neighbor links)."""
+
+import pathlib
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from relativitypathtracer_tpu.models import octree as octree_mod
+from relativitypathtracer_tpu.models.mesh import HostMesh
+from relativitypathtracer_tpu.models.obj_loader import read_obj
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    lib = REPO / "native" / "libRptOctree.so"
+    if not lib.exists():
+        if shutil.which("g++") is None:
+            pytest.skip("no g++ to build native octree lib")
+        subprocess.run(["make", "-C", str(REPO / "native"), "libRptOctree.so"],
+                       check=True, capture_output=True)
+    octree_mod._NATIVE = NotImplemented  # force re-probe
+    assert octree_mod._native_lib() is not None
+    return lib
+
+
+def _build(path, force_numpy):
+    mesh = HostMesh()
+    if force_numpy:
+        saved = octree_mod._NATIVE
+        octree_mod._NATIVE = None
+        try:
+            read_obj(str(path), mesh)
+        finally:
+            octree_mod._NATIVE = saved
+    else:
+        read_obj(str(path), mesh)
+    return mesh.octree
+
+
+def test_native_matches_numpy(native_lib, reference_root):
+    path = reference_root / "Models" / "pear.obj"
+    a = _build(path, force_numpy=False)
+    b = _build(path, force_numpy=True)
+    assert len(a.node_min) == len(b.node_min)
+    np.testing.assert_array_equal(np.asarray(a.node_min), np.asarray(b.node_min))
+    np.testing.assert_array_equal(np.asarray(a.node_max), np.asarray(b.node_max))
+    np.testing.assert_array_equal(np.asarray(a.node_tris_index), np.asarray(b.node_tris_index))
+    np.testing.assert_array_equal(np.asarray(a.node_tris_count), np.asarray(b.node_tris_count))
+    np.testing.assert_array_equal(np.asarray(a.node_children), np.asarray(b.node_children))
+    np.testing.assert_array_equal(np.asarray(a.node_neighbors), np.asarray(b.node_neighbors))
+    np.testing.assert_array_equal(np.asarray(a.oct_tris), np.asarray(b.oct_tris))
+    assert a.max_depth == b.max_depth
+
+
+def test_native_speedup(native_lib, reference_root):
+    import time
+
+    path = reference_root / "Models" / "bunny.obj"
+    t0 = time.perf_counter()
+    _build(path, force_numpy=False)
+    native_s = time.perf_counter() - t0
+    # native build of the 4968-tri bunny should be well under a second
+    assert native_s < 2.0
