@@ -68,27 +68,28 @@ def read_obj(path: str, mesh: HostMesh) -> None:
                 ) from e
 
     # Area-weighted smooth vertex normals for faces that lacked vn refs.
-    # Iterate in ascending vertex index (the reference uses std::map ordering)
-    # so generated normal indices match.
-    for vert_index in sorted(vert_to_tris):
-        tri_list = vert_to_tris[vert_index]
-        N = np.zeros(3, np.float32)
-        for tri in tri_list:
-            ai = mesh.triangles[9 * tri + 0]
-            bi = mesh.triangles[9 * tri + 3]
-            ci = mesh.triangles[9 * tri + 6]
-            A = np.asarray(mesh.vertices[ai], np.float32)
-            B = np.asarray(mesh.vertices[bi], np.float32)
-            C = np.asarray(mesh.vertices[ci], np.float32)
-            # Unnormalized cross: contribution proportional to face area.
-            N += np.cross(B - A, C - A)
-            if ai == vert_index:
-                mesh.triangles[2 + 9 * tri + 0] = len(mesh.normals)
-            elif bi == vert_index:
-                mesh.triangles[2 + 9 * tri + 3] = len(mesh.normals)
-            elif ci == vert_index:
-                mesh.triangles[2 + 9 * tri + 6] = len(mesh.normals)
-        mesh.normals.append(tuple(N / np.linalg.norm(N)))
+    # Vectorized; iteration order matches the reference exactly: vertices in
+    # ascending index (std::map ordering), each vertex's faces in
+    # registration order, and only the FIRST matching corner of a degenerate
+    # triangle gets patched (the reference's else-if chain).
+    if vert_to_tris:
+        verts_np = np.asarray(mesh.vertices, np.float32).reshape(-1, 3)
+        tri_flat = np.asarray(mesh.triangles, np.int64)
+        tv = tri_flat.reshape(-1, 9)[:, 0::3]  # (T, 3) vertex ids
+        A = verts_np[tv[:, 0]]
+        face_n = np.cross(verts_np[tv[:, 1]] - A, verts_np[tv[:, 2]] - A)  # (T, 3)
+
+        order = sorted(vert_to_tris)
+        base = len(mesh.normals)
+        for out_i, vert_index in enumerate(order):
+            tris = np.asarray(vert_to_tris[vert_index], np.int64)
+            # fp parity: accumulate per-face crosses in registration order
+            N = face_n[tris].astype(np.float32).cumsum(axis=0, dtype=np.float32)[-1]
+            mesh.normals.append(tuple(N / np.linalg.norm(N)))
+            corners = tv[tris]  # (k, 3)
+            first = np.argmax(corners == vert_index, axis=1)  # first matching slot
+            for t, slot in zip(tris, first):
+                mesh.triangles[2 + 9 * int(t) + 3 * int(slot)] = base + out_i
 
     root = generate_octree(mesh, first_tri_index)
     mesh.mesh_indices.append(root)
