@@ -50,6 +50,8 @@ def main(argv=None) -> int:
     ap.add_argument("--gif", default=None, help="output animated GIF (all frames)")
     ap.add_argument("--paused", action="store_true", help="do not advance scene time")
     ap.add_argument("--metrics", action="store_true", help="print per-frame timing JSON")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the frame loop into DIR")
     ap.add_argument("--platform", default=None, help="force a jax platform (cpu/tpu)")
     args = ap.parse_args(argv)
 
@@ -77,6 +79,10 @@ def main(argv=None) -> int:
     frames = []
     timings = []
     img = None
+    profiler_ctx = None
+    if args.profile:
+        profiler_ctx = jax.profiler.trace(args.profile)
+        profiler_ctx.__enter__()
     for i in range(args.frames):
         state = FrameState(cam_velocity=vel, cam_pos=jnp.array([t, 0, 0, 0], jnp.float32))
         t0 = time.perf_counter()
@@ -89,6 +95,8 @@ def main(argv=None) -> int:
         if not args.paused:
             t += args.dt
 
+    if profiler_ctx is not None:
+        profiler_ctx.__exit__(None, None, None)
     if args.out and img is not None:
         write_png(args.out, np.asarray(img))
     if args.gif and frames:

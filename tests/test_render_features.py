@@ -1,0 +1,79 @@
+"""Renderer feature tests: MSAA, interval override, FrameState stepping."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from relativitypathtracer_tpu import FrameState, build_scene, load_scene_file, render_frame
+from relativitypathtracer_tpu.utils import framestate
+
+
+def test_msaa_supersampling(reference_root):
+    host = load_scene_file(str(reference_root / "Scenes" / "cube.txt"))
+    scene, meta = build_scene(host)
+    img1 = np.asarray(render_frame(scene, meta, FrameState.initial(), 96, 64, msaa=1))
+    img2 = np.asarray(render_frame(scene, meta, FrameState.initial(), 96, 64, msaa=2))
+    assert img1.shape == img2.shape
+    # supersampling smooths edges: fewer extreme-gradient pixels
+    g1 = np.abs(np.diff(img1, axis=1)).max(-1)
+    g2 = np.abs(np.diff(img2, axis=1)).max(-1)
+    assert (g2 > 0.5).sum() <= (g1 > 0.5).sum()
+
+
+def test_interval_override_changes_lighting(reference_root):
+    host = load_scene_file(str(reference_root / "Scenes" / "arch.txt"))
+    scene, meta = build_scene(host)
+    with_prop = np.asarray(render_frame(scene, meta, FrameState.initial(), 96, 64, interval=-1))
+    without = np.asarray(render_frame(scene, meta, FrameState.initial(), 96, 64, interval=0))
+    # interval=0 forces ambient to 1.0 and disables lights: images must differ
+    assert np.abs(with_prop - without).max() > 0.05
+
+
+def test_framestate_step_velocity_and_time():
+    sim = framestate.SimState.initial(default_interval=-1)
+    keys = [False] * 9
+    keys[framestate.KEY_W] = True
+    sim = framestate.step(sim, keys, 500.0)
+    v = np.asarray(sim.frame.cam_velocity)
+    assert v[2] > 0 and abs(v[0]) < 1e-6  # forward motion
+    assert sim.paused and float(sim.frame.cam_pos[0]) == 0.0
+
+    # unpause (space edge), advance time
+    keys = [False] * 9
+    keys[framestate.KEY_SPACE] = True
+    sim = framestate.step(sim, keys, 16.0)
+    assert not sim.paused
+    keys = [False] * 9
+    sim = framestate.step(sim, keys, 1000.0)
+    assert float(sim.frame.cam_pos[0]) > 0.9
+
+    # reset velocity
+    keys = [False] * 9
+    keys[framestate.KEY_R] = True
+    sim = framestate.step(sim, keys, 16.0)
+    np.testing.assert_allclose(np.asarray(sim.frame.cam_velocity), 0.0)
+
+
+def test_framestate_interval_toggle_edges():
+    sim = framestate.SimState.initial(default_interval=-1)
+    keys = [False] * 9
+    keys[framestate.KEY_I] = True
+    sim = framestate.step(sim, keys, 16.0)
+    assert sim.interval == 0
+    # held key: no second toggle
+    sim = framestate.step(sim, keys, 16.0)
+    assert sim.interval == 0
+    # release + press again toggles back
+    sim = framestate.step(sim, [False] * 9, 16.0)
+    keys = [False] * 9
+    keys[framestate.KEY_I] = True
+    sim = framestate.step(sim, keys, 16.0)
+    assert sim.interval == -1
+
+
+def test_velocity_composition_stays_subluminal():
+    sim = framestate.SimState.initial()
+    keys = [False] * 9
+    keys[framestate.KEY_W] = True
+    for _ in range(100):
+        sim = framestate.step(sim, keys, 2000.0)
+    assert float(jnp.linalg.norm(sim.frame.cam_velocity)) < 1.0
