@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 EPSILON = 1e-7
 INF = 1e20
 NB = 1024  # rays per block; VMEM budget ~6 (Tc, NB) f32 intermediates
-TC = 128  # triangles per chunk (fine culling; rank-3 SMEM tables are cheap)
+TC = 128  # triangles per chunk (fine culling; Mosaic needs 128-aligned dynamic slices)
 N_ATTR = 15  # [normal(3) + uv(2)] x [base, du, dv]
 
 
