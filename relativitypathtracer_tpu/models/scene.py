@@ -72,7 +72,7 @@ class Scene(NamedTuple):
     textures: jnp.ndarray  # (B,) uint8 interleaved-RGB atlas
     textures_packed: jnp.ndarray  # (R, 8) uint32 rows of R|G<<8|B<<16 texels
     tex_quads: jnp.ndarray  # (Rq, 8) uint32 footprint atlas: 4 texels per (x0, y0)
-    tex_quad_base: jnp.ndarray  # (O,) int32 per-object footprint-atlas base quad
+    tex_fp: jnp.ndarray  # (O, 6) int32 per-object footprint region [base rx ry wb rw rh]
     white_point: jnp.ndarray  # (3,) f32
     ambient: jnp.ndarray  # () f32
 
@@ -122,47 +122,58 @@ def _morton_perm(verts: np.ndarray, tri_v: np.ndarray, lo: int, hi: int) -> tupl
     return tuple(int(i) for i in np.argsort(code, kind="stable"))
 
 
-def _footprint_atlas(packed_texels: np.ndarray, texture_values: list):
+def _footprint_atlas(packed_texels: np.ndarray, texture_values: list, regions: list):
     """Precompute the reference's exact 4-tap bilinear footprint per integer
     (x0, y0): taps [(x0,y0), (x1,y0), (x1,y1), (x2,y1)] with x1=clip(x0+1),
     y1=clip(y0+1), x2=clip(x1-1) (the reference's border quirk,
     opencl_kernel.cl:427-470) stored as 4 consecutive u32 texels. One 32-byte
     row gather then fetches a pixel's whole footprint -- gathers are the
-    texturing bottleneck on TPU (~2.6ms per 786k-ray tap via XLA).
+    texturing bottleneck on TPU (~2.6ms per 786k-ray tap via XLA), and their
+    cost grows with table size, so each region covers only the texel
+    rectangle its object can actually address (full texture for analytic-UV
+    objects; the static uv-hull for meshes -- mesh uvs are barycentric convex
+    combinations of the uv pool).
 
-    Returns ((Rq, 8) u32 atlas, {byte_offset: base_quad_index})."""
+    regions: list of (byte_offset, x_lo, x_hi, y_lo, y_hi) texel rects.
+    Returns ((Rq, 8) u32 atlas, {region: (base, rx, ry, rw)}): slot =
+    base + block-tiled offset of (x0-rx, y0-ry) within the rect.
+    """
     quads = []
-    base_by_offset = {}
+    params = {}
     total = 0
     B = 16  # 16x16-texel blocks: screen-coherent samples hit compact memory
-    for k in range(0, len(texture_values), 3):
-        off, w, h = texture_values[k], texture_values[k + 1], texture_values[k + 2]
+    dims = {int(texture_values[k]): (texture_values[k + 1], texture_values[k + 2])
+            for k in range(0, len(texture_values), 3)}
+    for region in dict.fromkeys(regions):  # dedupe, keep order
+        off, xl, xh, yl, yh = region
+        w, h = dims[int(off)]
         tex = packed_texels[off // 3: off // 3 + w * h].reshape(h, w)
-        x0 = np.broadcast_to(np.arange(w)[None, :], (h, w))
-        y0 = np.broadcast_to(np.arange(h)[:, None], (h, w))
+        rw = xh - xl + 1
+        rh = yh - yl + 1
+        x0 = np.broadcast_to(np.arange(xl, xh + 1)[None, :], (rh, rw))
+        y0 = np.broadcast_to(np.arange(yl, yh + 1)[:, None], (rh, rw))
         x1 = np.clip(x0 + 1, 0, w - 1)
         y1 = np.clip(y0 + 1, 0, h - 1)
         x2 = np.clip(x1 - 1, 0, w - 1)
         foot = np.stack(
-            [tex, tex[y0, x1], tex[y1, x1], tex[y1, x2]], axis=-1
-        )  # (h, w, 4)
-        # block-tiled slot: (by, bx, y&15, x&15) with dims padded to 16
-        wb = -(-w // B)
-        hb = -(-h // B)
+            [tex[y0, x0], tex[y0, x1], tex[y1, x1], tex[y1, x2]], axis=-1
+        )  # (rh, rw, 4)
+        # block-tiled slot: (by, bx, y&15, x&15) with rect dims padded to 16
+        wb = -(-rw // B)
+        hb = -(-rh // B)
         tiled = np.zeros((hb * B, wb * B, 4), np.uint32)
-        tiled[:h, :w] = foot
+        tiled[:rh, :rw] = foot
         tiled = (
             tiled.reshape(hb, B, wb, B, 4).transpose(0, 2, 1, 3, 4).reshape(-1, 4)
         )
-        base_by_offset[int(off)] = total
+        params[region] = (total, int(xl), int(yl), int(wb))
         quads.append(tiled.astype(np.uint32))
         total += hb * wb * B * B
     if not quads:
         quads = [np.zeros((2, 4), np.uint32)]
-        total = 2
     flat = np.concatenate(quads, axis=0).reshape(-1)  # 4 u32 per footprint
     rows = -(-len(flat) // 8)
-    return np.pad(flat, (0, rows * 8 - len(flat))).reshape(rows, 8), base_by_offset
+    return np.pad(flat, (0, rows * 8 - len(flat))).reshape(rows, 8), params
 
 
 def _f32(x):
@@ -248,16 +259,44 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
         | (tex_np[1::3].astype(np.uint32) << 8)
         | (tex_np[2::3].astype(np.uint32) << 16)
     )
-    quads, quad_base_by_offset = _footprint_atlas(packed, host.texture_values)
+    # Per-object addressable texel rect: analytic-UV objects (sphere/cube)
+    # cover the full texture; mesh objects only the static uv-pool hull
+    # (barycentric interpolation stays inside the hull; +/-2 texel margin
+    # absorbs fp slack). An uv-less mesh (pool = {(0,0)}) collapses to a
+    # handful of texels, keeping the footprint atlas tiny.
+    uv_pool = np.asarray(msh.uvs, np.float32).reshape(-1, 2) if len(msh.uvs) else np.zeros((1, 2), np.float32)
+    u_lo, v_lo = uv_pool.min(axis=0)
+    u_hi, v_hi = uv_pool.max(axis=0)
+    regions = []
+    for i in range(num):
+        off = int(tex_offset[i])
+        if off < 0:
+            regions.append(None)
+            continue
+        w_i, h_i = int(tex_w[i]), int(tex_h[i])
+        if types[i] == MESH:
+            xl = int(np.clip(np.floor(w_i * u_lo) - 2, 0, w_i - 1))
+            xh = int(np.clip(np.floor(w_i * u_hi) + 2, 0, w_i - 1))
+            yl = int(np.clip(np.floor(h_i * (1.0 - v_hi)) - 2, 0, h_i - 1))
+            yh = int(np.clip(np.floor(h_i * (1.0 - v_lo)) + 2, 0, h_i - 1))
+        else:
+            xl, xh, yl, yh = 0, w_i - 1, 0, h_i - 1
+        regions.append((off, xl, xh, yl, yh))
+    quads, region_params = _footprint_atlas(
+        packed, host.texture_values, [r for r in regions if r is not None]
+    )
+    tex_fp = np.zeros((num, 6), np.int32)
+    for i, r in enumerate(regions):
+        if r is None:
+            continue
+        base, rx, ry, wb = region_params[r]
+        tex_fp[i] = (base, rx, ry, wb, r[2] - r[1] + 1, r[4] - r[3] + 1)
     rows = -(-len(packed) // 8)
     packed = np.pad(packed, (0, rows * 8 - len(packed))).reshape(rows, 8)
-    tex_quad_base = np.array(
-        [quad_base_by_offset.get(int(t), 0) for t in tex_offset], np.int32
-    )
     scene = Scene(
         objects=objects, mesh=mesh, textures=textures,
         textures_packed=jnp.asarray(packed),
-        tex_quads=jnp.asarray(quads), tex_quad_base=_i32(tex_quad_base),
+        tex_quads=jnp.asarray(quads), tex_fp=_i32(tex_fp),
         white_point=_f32(host.white_point), ambient=jnp.float32(host.ambient),
     )
 

@@ -100,14 +100,14 @@ def bilinear_sample_packed(atlas_u32, offset_texels, width, height, uv):
     return row1 + row2
 
 
-def bilinear_sample_footprint(quads, base_quad, width, height, uv):
+def bilinear_sample_footprint(quads, fp, width, height, uv):
     """Bilinear sample via the precomputed footprint atlas: ONE 32-byte row
     gather per pixel fetches all 4 reference taps (models.scene
     _footprint_atlas), vs ~2.6ms per separate 786k-ray tap.
 
     quads: (Rq, 8) uint32 (4 consecutive u32 per (x0, y0) footprint);
-    base_quad: (N,) int32 per-pixel texture base; width/height: (N,) int32;
-    uv: (2, N). Returns (3, N) float RGB in [0, 1].
+    fp: (6, N) int32 per-pixel region params [base rx ry wb rw rh];
+    width/height: (N,) int32; uv: (2, N). Returns (3, N) float RGB in [0, 1].
     """
     w = width
     h = height
@@ -123,13 +123,15 @@ def bilinear_sample_footprint(quads, base_quad, width, height, uv):
     y0 = jnp.clip(y, 0, h - 1)
 
     n = uv.shape[1]
-    # block-tiled slot (16x16 texel blocks, dims padded to 16): matches the
-    # layout produced by models.scene._footprint_atlas
-    wb = (w + 15) >> 4
+    base_quad, rx, ry, wb, rw, rh = fp[0], fp[1], fp[2], fp[3], fp[4], fp[5]
+    # region-local coordinates; clamping is a no-op for addressable uvs
+    lx = jnp.clip(x0 - rx, 0, jnp.maximum(rw - 1, 0))
+    ly = jnp.clip(y0 - ry, 0, jnp.maximum(rh - 1, 0))
+    # block-tiled slot (16x16 texel blocks, rect dims padded to 16)
     slot = (
-        ((y0 >> 4) * wb + (x0 >> 4)) * 256
-        + (y0 & 15) * 16
-        + (x0 & 15)
+        ((ly >> 4) * wb + (lx >> 4)) * 256
+        + (ly & 15) * 16
+        + (lx & 15)
     )
     idx4 = jnp.clip((base_quad + slot) * 4, 0, quads.shape[0] * 8 - 4)
     rows = jnp.take(quads, idx4 >> 3, axis=0)  # (N, 8)

@@ -229,9 +229,8 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     tex_w = jnp.maximum(sel_i32(objects.tex_w), 1)
     tex_h = jnp.maximum(sel_i32(objects.tex_h), 1)
     if meta.use_footprint_tex:
-        tex_rgb = bilinear_sample_footprint(
-            scene.tex_quads, sel_i32(scene.tex_quad_base), tex_w, tex_h, uv
-        )
+        fp = jnp.stack([sel_i32(scene.tex_fp[:, k]) for k in range(6)])  # (6, N)
+        tex_rgb = bilinear_sample_footprint(scene.tex_quads, fp, tex_w, tex_h, uv)
     else:
         tex_rgb = bilinear_sample_packed(
             scene.textures_packed, jnp.maximum(tex_off, 0) // 3, tex_w, tex_h, uv
