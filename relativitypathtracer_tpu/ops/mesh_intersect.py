@@ -90,7 +90,10 @@ def shared_origin_constants(mesh, tri_range, ro, perm=None):
     c_u = jnp.pad(c_u, ((0, pad), (0, 0)))
     qvec = jnp.pad(qvec, ((0, pad), (0, 0)))
     c_t = jnp.pad(c_t, (0, pad))
-    consts = jnp.concatenate([c_det, c_u, qvec], axis=0)  # (3*T_pad, 3)
+    # ct rides in lane 0 of a 4th block so every kernel slice is a
+    # sublane-dynamic (Tc, 3) window (lane slices would force Tc >= 128).
+    ct_block = jnp.concatenate([c_t[:, None], jnp.zeros((T_pad, 2))], axis=1)
+    consts = jnp.concatenate([c_det, c_u, qvec, ct_block], axis=0)  # (4*T_pad, 3)
     return consts, c_t, T, T_pad
 
 
@@ -111,7 +114,8 @@ def tri_attr_matrix(mesh, tri_range, T_pad, perm=None):
     du = jnp.concatenate([nB - nA, uB - uA], axis=1)
     dv = jnp.concatenate([nC - nA, uC - uA], axis=1)
     attrs = jnp.concatenate([base, du, dv], axis=1)  # (T, 15)
-    return jnp.pad(attrs, ((0, T_pad - T), (0, 0))).T  # (15, T_pad)
+    # (T_pad, 15): row-major so kernel slices are sublane-dynamic (8-aligned)
+    return jnp.pad(attrs, ((0, T_pad - T), (0, 0)))
 
 
 def general_ray_constants(mesh, tri_range, perm=None):

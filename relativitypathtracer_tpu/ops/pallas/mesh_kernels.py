@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 EPSILON = 1e-7
 INF = 1e20
 NB = 1024  # rays per block; VMEM budget ~6 (Tc, NB) f32 intermediates
-TC = 128  # triangles per chunk (fine culling; Mosaic needs 128-aligned dynamic slices)
+TC = 32  # triangles per chunk; all kernel slices are sublane-dynamic (8-aligned)
 N_ATTR = 15  # [normal(3) + uv(2)] x [base, du, dv]
 
 
@@ -135,7 +135,7 @@ def _mt_mask(det, u, v, dist, tri_ok):
     )
 
 
-def _shared_kernel(order_ref, minds_ref, count_ref, consts_ref, ct_ref,
+def _shared_kernel(order_ref, minds_ref, count_ref, consts_ref,
                    attr_ref, dh_ref, bound_ref,
                    t_ref, u_ref, v_ref, tri_ref, attr_out_ref,
                    *, T: int, T_pad: int):
@@ -160,7 +160,7 @@ def _shared_kernel(order_ref, minds_ref, count_ref, consts_ref, ct_ref,
         cd = consts_ref[pl.ds(base, TC), :]  # (Tc, 3)
         cu = consts_ref[pl.ds(T_pad + base, TC), :]
         cv = consts_ref[pl.ds(2 * T_pad + base, TC), :]
-        ct = ct_ref[0, pl.ds(base, TC)]  # (Tc,)
+        ct = consts_ref[pl.ds(3 * T_pad + base, TC), 0]  # (Tc,)
 
         def dot3(m):
             return jax.lax.dot_general(m, dh, (((1,), (0,)), ((), ())),
@@ -182,10 +182,10 @@ def _shared_kernel(order_ref, minds_ref, count_ref, consts_ref, ct_ref,
         umin = jnp.sum(jnp.where(onehot, u, 0.0), axis=0)
         vmin = jnp.sum(jnp.where(onehot, v, 0.0), axis=0)
         # Interpolation-ready attributes of the winning triangle, via one
-        # (15, Tc) @ (Tc, NB) product -- no per-ray gathers.
-        attrs = attr_ref[:, pl.ds(base, TC)]  # (15, Tc)
+        # (Tc, 15)^T @ (Tc, NB) product -- no per-ray gathers.
+        attrs = attr_ref[pl.ds(base, TC), :]  # (Tc, 15)
         attr_sel = jax.lax.dot_general(
-            attrs, jnp.where(onehot, 1.0, 0.0), (((1,), (0,)), ((), ())),
+            attrs, jnp.where(onehot, 1.0, 0.0), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (15, NB)
         new_t = jnp.where(better, dmin, best_t)
@@ -242,8 +242,7 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro):
             pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((consts.shape[0], 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_ATTR, T_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_pad, N_ATTR), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -256,7 +255,7 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro):
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((N_ATTR, n_pad), jnp.float32),
         ),
-    )(order, minds, counts, consts, c_t[None, :], attrs, dh_p, bound)
+    )(order, minds, counts, consts, attrs, dh_p, bound)
     return bt[0, :n], bu[0, :n], bv[0, :n], btri[0, :n], battr[:, :n]
 
 
