@@ -312,10 +312,10 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
     cols, T, T_pad = general_ray_constants(mesh, tri_range, perm)
 
     if use_pallas:
-        from .pallas.mesh_kernels import chunk_spheres, general_min_t
+        from .pallas.mesh_kernels import TC_GEN, chunk_spheres, general_min_t
 
         A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
-        spheres = chunk_spheres(A, B, C, T, T_pad)
+        spheres = chunk_spheres(A, B, C, T, T_pad, tc=TC_GEN)
         tmax_obj = None
         if tmax is not None:
             # Convert the t-parameter bound to object-space distance: along a

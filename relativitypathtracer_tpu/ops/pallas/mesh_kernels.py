@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 EPSILON = 1e-7
 INF = 1e20
 NB = 1024  # rays per block; VMEM budget ~6 (Tc, NB) f32 intermediates
-TC = 32  # triangles per chunk; all kernel slices are sublane-dynamic (8-aligned)
+TC = 32  # shared-kernel chunk; all kernel slices are sublane-dynamic (8-aligned)
+TC_GEN = 32  # general (shadow) kernel chunk (32 measured best, like the shared kernel)
 N_ATTR = 15  # [normal(3) + uv(2)] x [base, du, dv]
 
 
@@ -50,15 +51,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def chunk_spheres(A, B, C, T, T_pad):
-    """Bounding sphere per TC-triangle chunk: (n_chunks, 4) cx cy cz r.
+def chunk_spheres(A, B, C, T, T_pad, tc=TC):
+    """Bounding sphere per tc-triangle chunk: (n_chunks, 4) cx cy cz r.
     Padding triangles collapse onto the last real vertex (harmless)."""
     def padv(x):
         return jnp.pad(x, ((0, T_pad - T), (0, 0)), mode="edge")
 
     A, B, C = padv(A), padv(B), padv(C)
-    n_chunks = T_pad // TC
-    pts = jnp.stack([A, B, C]).reshape(3, n_chunks, TC, 3)
+    n_chunks = T_pad // tc
+    pts = jnp.stack([A, B, C]).reshape(3, n_chunks, tc, 3)
     lo = jnp.min(jnp.min(pts, axis=0), axis=1)  # (n_chunks, 3)
     hi = jnp.max(jnp.max(pts, axis=0), axis=1)
     c = (lo + hi) / 2.0
@@ -261,6 +262,7 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro):
 
 def _general_kernel(order_ref, minds_ref, count_ref, cols_ref, r10_ref,
                     tmax_ref, t_ref, *, T: int, T_pad: int):
+    TC = TC_GEN
     r10 = r10_ref[:]  # (10, NB)
     nb = r10.shape[1]
     n_live = count_ref[0, 0, 0]
