@@ -66,6 +66,17 @@ class MeshArrays(NamedTuple):
     oct_tris: jnp.ndarray  # (P,) int32 triangle-pool indices
 
 
+class MeshStatic(NamedTuple):
+    """Frame-invariant per-mesh-object kernel inputs, precomputed at scene
+    build: Morton-permuted triangle attribute matrix, chunk bounding spheres,
+    and the Plucker operators for general (shadow) rays. Only the
+    shared-origin constants depend on the per-frame camera event."""
+
+    attrs: jnp.ndarray  # (T_pad, 15)
+    spheres: jnp.ndarray  # (n_chunks, 4)
+    gen_cols: jnp.ndarray  # (4*T_pad, 10)
+
+
 class Scene(NamedTuple):
     objects: ObjectsSoA
     mesh: MeshArrays
@@ -73,6 +84,7 @@ class Scene(NamedTuple):
     textures_packed: jnp.ndarray  # (R, 8) uint32 rows of R|G<<8|B<<16 texels
     tex_quads: jnp.ndarray  # (Rq, 8) uint32 footprint atlas: 4 texels per (x0, y0)
     tex_fp: jnp.ndarray  # (O, 6) int32 per-object footprint region [base rx ry wb rw rh]
+    mesh_static: tuple  # MeshStatic per mesh object (meta.mesh_ids order)
     white_point: jnp.ndarray  # (3,) f32
     ambient: jnp.ndarray  # () f32
 
@@ -293,13 +305,6 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
         tex_fp[i] = (base, rx, ry, wb, r[2] - r[1] + 1, r[4] - r[3] + 1)
     rows = -(-len(packed) // 8)
     packed = np.pad(packed, (0, rows * 8 - len(packed))).reshape(rows, 8)
-    scene = Scene(
-        objects=objects, mesh=mesh, textures=textures,
-        textures_packed=jnp.asarray(packed),
-        tex_quads=jnp.asarray(quads), tex_fp=_i32(tex_fp),
-        white_point=_f32(host.white_point), ambient=jnp.float32(host.ambient),
-    )
-
     mesh_ids = tuple(int(i) for i in np.nonzero(types == MESH)[0])
     tri_ranges = tuple(
         host.mesh.root_tri_ranges.get(int(mesh_root[i]), (0, len(tris))) for i in mesh_ids
@@ -308,6 +313,34 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
         _morton_perm(verts, tris[:, 0::3].astype(np.int64), lo, hi)
         for (lo, hi) in tri_ranges
     )
+
+    # Frame-invariant mesh kernel inputs (attr matrix, chunk spheres,
+    # Plucker operators), precomputed once per scene.
+    from ..ops.mesh_intersect import (
+        general_ray_constants, mesh_tri_vertices, tri_attr_matrix, _round_up as _ru,
+    )
+    from ..ops.pallas.mesh_kernels import chunk_spheres
+
+    mesh_static = []
+    for k, rng_pair in enumerate(tri_ranges):
+        perm_arr = jnp.asarray(perms[k], jnp.int32) if perms[k] else None
+        T_k = rng_pair[1] - rng_pair[0]
+        T_pad_k = _ru(max(T_k, 1), 256)
+        A, B, C = mesh_tri_vertices(mesh, rng_pair, perm_arr)
+        mesh_static.append(MeshStatic(
+            attrs=tri_attr_matrix(mesh, rng_pair, T_pad_k, perm_arr),
+            spheres=chunk_spheres(A, B, C, T_k, T_pad_k),
+            gen_cols=general_ray_constants(mesh, rng_pair, perm_arr)[0],
+        ))
+
+    scene = Scene(
+        objects=objects, mesh=mesh, textures=textures,
+        textures_packed=jnp.asarray(packed),
+        tex_quads=jnp.asarray(quads), tex_fp=_i32(tex_fp),
+        mesh_static=tuple(mesh_static),
+        white_point=_f32(host.white_point), ambient=jnp.float32(host.ambient),
+    )
+
     meta = SceneMeta(
         num_objects=num,
         sphere_ids=tuple(int(i) for i in np.nonzero(types == SPHERE)[0]),

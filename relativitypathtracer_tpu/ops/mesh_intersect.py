@@ -162,7 +162,7 @@ def _mt_accept(det, u_num, v_num, t_num, tri_ok):
 
 
 def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
-                          use_pallas=None, perm=None):
+                          use_pallas=None, perm=None, static=None):
     """Nearest-hit of shared-origin rays against triangles [lo, hi).
 
     o3: (3,) rest-frame spatial origin; d3: (3, N) rest-frame spatial dirs.
@@ -193,9 +193,12 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
     if use_pallas:
         from .pallas.mesh_kernels import chunk_spheres, shared_nearest_hit
 
-        A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
-        attrs = tri_attr_matrix(mesh, tri_range, T_pad, perm)
-        spheres = chunk_spheres(A, B, C, T, T_pad)
+        if static is not None:
+            attrs, spheres = static.attrs, static.spheres
+        else:
+            A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
+            attrs = tri_attr_matrix(mesh, tri_range, T_pad, perm)
+            spheres = chunk_spheres(A, B, C, T, T_pad)
         bt, bu, bv, btri, battr = shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro)
         valid = btri >= 0  # kernel init is -1; any real hit overwrites it
         # attr(u, v) = base + u*du + v*dv (see tri_attr_matrix)
@@ -279,7 +282,7 @@ def finalize_best_hit(mesh, lo, m4, inv_m, o3, d3, ro, dh, bt, bu, bv, btri):
 
 
 def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
-                       use_pallas=None, perm=None, tmax=None):
+                       use_pallas=None, perm=None, tmax=None, static=None):
     """Minimum hit parameter t for rays with per-ray origins (shadow rays).
 
     o3: (3, N) rest-frame spatial origins; d3: (3, N) spatial dirs.
@@ -309,13 +312,21 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
         use_pallas = jax.default_backend() != "cpu"
     if not use_pallas:
         perm = None
-    cols, T, T_pad = general_ray_constants(mesh, tri_range, perm)
+    T = hi - lo
+    T_pad = _round_up(max(T, 1), 256)
+    if use_pallas and static is not None:
+        cols = static.gen_cols
+    else:
+        cols, T, T_pad = general_ray_constants(mesh, tri_range, perm)
 
     if use_pallas:
         from .pallas.mesh_kernels import TC_GEN, chunk_spheres, general_min_t
 
-        A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
-        spheres = chunk_spheres(A, B, C, T, T_pad, tc=TC_GEN)
+        if static is not None:
+            spheres = static.spheres
+        else:
+            A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
+            spheres = chunk_spheres(A, B, C, T, T_pad, tc=TC_GEN)
         tmax_obj = None
         if tmax is not None:
             # Convert the t-parameter bound to object-space distance: along a

@@ -157,7 +157,7 @@ def intersect_scene(scene: Scene, meta: SceneMeta, L, stat_cam, dir4):
         perm = jnp.asarray(meta.mesh_perms[k], jnp.int32) if meta.mesh_perms[k] else None
         t, n, uv, valid = mesh_intersect_shared(
             scene.mesh, meta.mesh_tri_ranges[k], objects.m[i], objects.inv_m[i],
-            stat_cam[i, 1:4], d4[1:4], perm=perm,
+            stat_cam[i, 1:4], d4[1:4], perm=perm, static=scene.mesh_static[k],
         )
         cand = (t, n, uv, jnp.full((n_rays,), i, jnp.int32))
         best = _merge_best(best, cand)
@@ -196,7 +196,7 @@ def scene_min_t(scene: Scene, meta: SceneMeta, L, origins4, dir3, interval: int,
         perm = jnp.asarray(meta.mesh_perms[k], jnp.int32) if meta.mesh_perms[k] else None
         t = mesh_min_t_general(
             scene.mesh, meta.mesh_tri_ranges[k], objects.m[i], objects.inv_m[i],
-            o4[1:4], d4[1:4], perm=perm, tmax=tmax,
+            o4[1:4], d4[1:4], perm=perm, tmax=tmax, static=scene.mesh_static[k],
         )
         best = jnp.minimum(best, t)
     return best
