@@ -286,7 +286,12 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
             ndotl = jnp.sum(normal * normalize3(ld3_of), axis=0)
 
             tmax = norm3(ld[1:4])
-            occ_t = scene_min_t(scene, meta, L, hit_pos, ld[1:4], interval, i, tmax=tmax)
+            # Zero the search bound for lanes whose shadow result is masked
+            # out anyway (miss / backfacing / the light itself): blocks with
+            # no relevant lanes then terminate after their first chunk.
+            relevant = did_hit & (obj != i) & (ndotl > 0)
+            occ_t = scene_min_t(scene, meta, L, hit_pos, ld[1:4], interval, i,
+                                tmax=jnp.where(relevant, tmax, 0.0))
             lit = occ_t >= tmax
 
             llen = norm3(ld3_of)
