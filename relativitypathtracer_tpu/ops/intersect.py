@@ -45,7 +45,7 @@ def normalize3(v):
     return v / norm3(v)
 
 
-def sphere_intersect(inv_m, o3, d3):
+def sphere_intersect(inv_m, o3, d3, with_attrs=True):
     """Unit-sphere intersection in object space.
 
     Mirrors intersect_sphere (/root/reference/opencl_kernel.cl:335-359).
@@ -69,16 +69,17 @@ def sphere_intersect(inv_m, o3, d3):
     dist = jnp.where(use_near, near, far)
     valid = hit & (use_near | (far > EPSILON))
 
+    t = jnp.where(valid, dist / scale, INF)
+    if not with_attrs:  # shadow rays only need the hit parameter
+        return t, None, None, valid
     obj_pt = ro + dh * dist
-    t = dist / scale
     normal = normalize3(apply_normal3(inv_m, obj_pt))
     u = 0.5 + jnp.arctan2(obj_pt[2], obj_pt[0]) / (2.0 * jnp.pi)
     v = jnp.arcsin(jnp.clip(obj_pt[1], -1.0, 1.0)) / jnp.pi + 0.5
-    t = jnp.where(valid, t, INF)
     return t, normal, jnp.stack([u, v]), valid
 
 
-def cube_intersect(inv_m, o3, d3):
+def cube_intersect(inv_m, o3, d3, with_attrs=True):
     """Unit-cube [-1, 1]^3 slab intersection (Majercik et al.).
 
     Mirrors intersect_cube (/root/reference/opencl_kernel.cl:312-333).
@@ -116,13 +117,14 @@ def cube_intersect(inv_m, o3, d3):
     dist = jnp.where(sx != 0.0, dcand[0], jnp.where(sy != 0.0, dcand[1], dcand[2]))
     valid = (sx != 0.0) | (sy != 0.0) | (sz != 0.0)
 
+    t = jnp.where(valid, dist / scale, INF)
+    if not with_attrs:  # shadow rays only need the hit parameter
+        return t, None, None, valid
     obj_pt = ro + dh * dist
-    t = dist / scale
     normal = normalize3(apply_normal3(inv_m, sgn_out))
     on_x = sx != 0.0
     on_y = sy != 0.0
     u = jnp.where(on_x, obj_pt[1], obj_pt[0])
     v = jnp.where(on_x | on_y, obj_pt[2], obj_pt[1])
     uv = jnp.stack([(u + 1.0) / 2.0, (v + 1.0) / 2.0])
-    t = jnp.where(valid, t, INF)
     return t, normal, uv, valid
