@@ -24,6 +24,10 @@ class HostMesh:
     # root node index -> (first_tri, end_tri) triangle range seeded at build
     # time; used by the brute-force (non-octree) mesh path.
     root_tri_ranges: dict = dataclasses.field(default_factory=dict)
+    # root node index -> unique triangle ids reachable through the root's
+    # octree subtree (foreign tris outside the root bounds are SAT-culled,
+    # matching the reference's effective multi-mesh behavior)
+    root_tri_lists: dict = dataclasses.field(default_factory=dict)
 
     @property
     def num_tris(self) -> int:

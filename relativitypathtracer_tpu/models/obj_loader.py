@@ -94,3 +94,15 @@ def read_obj(path: str, mesh: HostMesh) -> None:
     root = generate_octree(mesh, first_tri_index)
     mesh.mesh_indices.append(root)
     mesh.root_tri_ranges[root] = (0, len(mesh.triangles) // 9)
+    # Triangles actually reachable by the stackless walk through this root:
+    # the union of the subtree's LEAF lists (the SAT filter drops
+    # foreign/out-of-bounds tris during subdivision; an unsubdivided root is
+    # its own leaf and keeps its full seed). Mirrors the reference's
+    # effective multi-mesh semantics (SURVEY.md section 3.4 quirk).
+    oct = mesh.octree
+    reachable = []
+    for node in range(root, len(oct.node_min)):
+        if oct.node_children[node][0] == -1:
+            s0 = oct.node_tris_index[node]
+            reachable.extend(oct.oct_tris[s0:s0 + oct.node_tris_count[node]])
+    mesh.root_tri_lists[root] = np.unique(np.asarray(reachable, np.int64))

@@ -109,14 +109,15 @@ class SceneMeta:
     use_footprint_tex: bool = True  # small textures: 1-gather footprint atlas
 
 
-def _morton_perm(verts: np.ndarray, tri_v: np.ndarray, lo: int, hi: int) -> tuple:
-    """Morton (Z-curve) triangle ordering by quantized centroid, so that
-    fixed-size triangle chunks in the Pallas mesh kernels are spatially tight
-    and the chunk-vs-ray-cone culling actually skips work. Returns a tuple of
-    python ints (hashable, lives in SceneMeta)."""
-    if hi <= lo:
+def _morton_perm(verts: np.ndarray, tri_v: np.ndarray, tri_ids: np.ndarray) -> tuple:
+    """Morton (Z-curve) ordering of the given ABSOLUTE triangle ids by
+    quantized centroid, so that fixed-size triangle chunks in the Pallas mesh
+    kernels are spatially tight and the chunk-vs-ray-cone culling actually
+    skips work. Returns a tuple of python ints (hashable, lives in
+    SceneMeta)."""
+    if len(tri_ids) == 0:
         return ()
-    tv = tri_v[lo:hi]
+    tv = tri_v[tri_ids]
     cent = (verts[tv[:, 0]] + verts[tv[:, 1]] + verts[tv[:, 2]]) / 3.0
     lo_c = cent.min(axis=0)
     span = np.maximum(cent.max(axis=0) - lo_c, 1e-12)
@@ -131,7 +132,7 @@ def _morton_perm(verts: np.ndarray, tri_v: np.ndarray, lo: int, hi: int) -> tupl
         return x
 
     code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
-    return tuple(int(i) for i in np.argsort(code, kind="stable"))
+    return tuple(int(tri_ids[i]) for i in np.argsort(code, kind="stable"))
 
 
 def _footprint_atlas(packed_texels: np.ndarray, texture_values: list, regions: list):
@@ -309,9 +310,20 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
     tri_ranges = tuple(
         host.mesh.root_tri_ranges.get(int(mesh_root[i]), (0, len(tris))) for i in mesh_ids
     )
+    # Per mesh object: the octree-reachable triangle set (SAT-culled, so
+    # foreign tris from other meshes in the shared pool drop out exactly as
+    # in the reference's walk), Morton-ordered, as ABSOLUTE triangle ids.
     perms = tuple(
-        _morton_perm(verts, tris[:, 0::3].astype(np.int64), lo, hi)
-        for (lo, hi) in tri_ranges
+        _morton_perm(
+            verts,
+            tris[:, 0::3].astype(np.int64),
+            np.asarray(
+                host.mesh.root_tri_lists.get(
+                    int(mesh_root[i]), np.arange(rng[0], rng[1], dtype=np.int64)
+                )
+            ),
+        )
+        for i, rng in zip(mesh_ids, tri_ranges)
     )
 
     # Frame-invariant mesh kernel inputs (attr matrix, chunk spheres,

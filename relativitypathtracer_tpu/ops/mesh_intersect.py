@@ -55,11 +55,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def tri_count(tri_range, perm):
+    return int(perm.shape[0]) if perm is not None else int(tri_range[1]) - int(tri_range[0])
+
+
 def mesh_tri_vertices(mesh, tri_range, perm=None):
-    lo, hi = int(tri_range[0]), int(tri_range[1])
-    tv = mesh.tri_v[lo:hi]
+    """perm, when given, holds ABSOLUTE triangle ids (the Morton-ordered
+    octree-reachable set); otherwise the contiguous seeded range is used."""
     if perm is not None:
-        tv = tv[perm]
+        tv = mesh.tri_v[perm]
+    else:
+        lo, hi = int(tri_range[0]), int(tri_range[1])
+        tv = mesh.tri_v[lo:hi]
     A = mesh.vertices[tv[:, 0]]
     B = mesh.vertices[tv[:, 1]]
     C = mesh.vertices[tv[:, 2]]
@@ -74,8 +81,7 @@ def shared_origin_constants(mesh, tri_range, ro, perm=None):
     -> auto-masked by the epsilon test). `perm` optionally reorders triangles
     (Morton order for chunk locality).
     """
-    lo, hi = int(tri_range[0]), int(tri_range[1])
-    T = hi - lo
+    T = tri_count(tri_range, perm)
     A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
     e1 = B - A
     e2 = C - A
@@ -98,16 +104,17 @@ def shared_origin_constants(mesh, tri_range, ro, perm=None):
 
 
 def tri_attr_matrix(mesh, tri_range, T_pad, perm=None):
-    """(15, T_pad) interpolation operators: rows = [nA(3), uvA(2),
+    """(T_pad, 15) interpolation operators: cols = [nA(3), uvA(2),
     (nB-nA)(3), (uvB-uvA)(2), (nC-nA)(3), (uvC-uvA)(2)] so that
     attr(u, v) = base + u*du + v*dv reproduces barycentric interpolation."""
-    lo, hi = int(tri_range[0]), int(tri_range[1])
-    T = hi - lo
-    tn = mesh.tri_n[lo:hi]
-    tuv = mesh.tri_uv[lo:hi]
+    T = tri_count(tri_range, perm)
     if perm is not None:
-        tn = tn[perm]
-        tuv = tuv[perm]
+        tn = mesh.tri_n[perm]
+        tuv = mesh.tri_uv[perm]
+    else:
+        lo, hi = int(tri_range[0]), int(tri_range[1])
+        tn = mesh.tri_n[lo:hi]
+        tuv = mesh.tri_uv[lo:hi]
     nA, nB, nC = (mesh.normals[tn[:, k]] for k in range(3))
     uA, uB, uC = (mesh.uvs[tuv[:, k]] for k in range(3))
     base = jnp.concatenate([nA, uA], axis=1)  # (T, 5)
@@ -123,8 +130,7 @@ def general_ray_constants(mesh, tri_range, perm=None):
     (cols (4*T_pad, 10), T, T_pad) where rows [0,T_pad) are the det
     operators, then u, v, t blocks. Grouped layout keeps per-chunk slices
     contiguous (no strided sublane access). Zero padding rows auto-mask."""
-    lo, hi = int(tri_range[0]), int(tri_range[1])
-    T = hi - lo
+    T = tri_count(tri_range, perm)
     A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
     e1 = B - A
     e2 = C - A
@@ -174,8 +180,8 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
     (default: automatically on TPU backends).
     """
     n = d3.shape[1]
-    lo, hi = int(tri_range[0]), int(tri_range[1])
-    if hi - lo == 0:
+    lo = int(tri_range[0])
+    if tri_count(tri_range, perm) == 0:
         return (jnp.full((n,), INF), jnp.zeros((3, n)), jnp.zeros((2, n)),
                 jnp.zeros((n,), bool))
 
@@ -186,8 +192,6 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
 
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
-    if not use_pallas:
-        perm = None  # the jnp fallback does its own finalize gathers by tri id
     consts, c_t, T, T_pad = shared_origin_constants(mesh, tri_range, ro, perm)
 
     if use_pallas:
@@ -245,17 +249,20 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
             jnp.zeros((n,), jnp.int32))
     (bt, bu, bv, btri), _ = jax.lax.scan(chunk_step, init, jnp.arange(n_chunks))
 
-    return finalize_best_hit(mesh, lo, m4, inv_m, o3, d3, ro, dh, bt, bu, bv, btri)
+    return finalize_best_hit(mesh, lo, m4, inv_m, o3, d3, ro, dh, bt, bu, bv, btri, perm)
 
 
-def finalize_best_hit(mesh, lo, m4, inv_m, o3, d3, ro, dh, bt, bu, bv, btri):
+def finalize_best_hit(mesh, lo, m4, inv_m, o3, d3, ro, dh, bt, bu, bv, btri, perm=None):
     """Attribute interpolation + world-distance conversion for the best hit.
 
     Mirrors the post-walk block of intersect_octree
     (opencl_kernel.cl:287-303). Shared by the jnp and Pallas mesh paths.
     """
     valid = bt < INF
-    tri = jnp.clip(btri + lo, 0, mesh.tri_v.shape[0] - 1)
+    if perm is not None:
+        tri = perm[jnp.clip(btri, 0, perm.shape[0] - 1)]
+    else:
+        tri = jnp.clip(btri + lo, 0, mesh.tri_v.shape[0] - 1)
 
     w0 = 1.0 - bu - bv
     tn = mesh.tri_n[tri]  # (N, 3) gather
@@ -291,8 +298,7 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
     Returns t (N,), INF where no hit, converted to the shared ray parameter.
     """
     n = d3.shape[1]
-    lo, hi = int(tri_range[0]), int(tri_range[1])
-    if hi - lo == 0:
+    if tri_count(tri_range, perm) == 0:
         return jnp.full((n,), INF)
 
     ro = apply_affine3(inv_m, o3)  # (3, N)
@@ -310,9 +316,7 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
 
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
-    if not use_pallas:
-        perm = None
-    T = hi - lo
+    T = tri_count(tri_range, perm)
     T_pad = _round_up(max(T, 1), 256)
     if use_pallas and static is not None:
         cols = static.gen_cols

@@ -74,3 +74,46 @@ def test_oracle_parity_at_nonzero_time_and_velocity(oracle, reference_root, tmp_
     diff = np.abs(ref - ours)
     assert diff.mean() < 1e-3
     assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.01
+
+
+def test_multi_mesh_scene(oracle, reference_root, tmp_path):
+    """Two meshes sharing the global pool: the reference's octree roots are
+    seeded with ALL triangles but SAT-cull foreign ones during subdivision
+    (SURVEY.md 3.4); our reachable-set must reproduce that (mesh 2's
+    instance must NOT render mesh 1's geometry)."""
+    text = """MModels/triangle.obj
+MModels/pear.obj
+Om0
+ p-2,0,6,0,0,1,0,2,2,2
+ c0.9,0.2,0.2
+Om1
+ p2,0,6,0,0,1,0,1,1,1
+ c0.2,0.9,0.2
+Os
+ p0,4,4,0,0,0,0,0.2,0.2,0.2
+ c1,1,1
+ l1
+A0.3
+R
+"""
+    from relativitypathtracer_tpu import build_scene, parse_scene
+
+    host = parse_scene(text, str(reference_root))
+    scene, meta = build_scene(host)
+    assert len(meta.mesh_ids) == 2
+    # Reachable sets follow the reference quirk exactly: the triangle sits
+    # inside the pear's root bounds, so the pear's octree keeps it (2848+1);
+    # no pear triangle survives the triangle's flat root box.
+    assert len(meta.mesh_perms[0]) == 1
+    assert len(meta.mesh_perms[1]) == 2849
+
+    state = FrameState.initial()
+    blob = tmp_path / "mm.blob"
+    out = tmp_path / "mm.rgb"
+    write_scene_blob(str(blob), scene, meta, state, W, H)
+    subprocess.run([oracle, str(blob), str(out)], check=True, capture_output=True)
+    ref = np.fromfile(out, np.float32).reshape(H, W, 3)
+    ours = np.asarray(render_frame(scene, meta, state, W, H))
+    diff = np.abs(ref - ours)
+    assert diff.mean() < 1e-3
+    assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.01
