@@ -105,12 +105,35 @@ def live_chunk_lists(spheres, dh_p, o_p):
         cos_d >= cos_a[:, None] * cos_b - sin_a[:, None] * sin_b
     )
 
+    # Bucketed counting sort instead of argsort (XLA's sort costs ~1.6ms per
+    # call here; early termination only needs APPROXIMATE front-to-back).
+    n_chunks = spheres.shape[0]
+    NBKT = 16
     key = jnp.where(overlap, mind, INF)
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)  # live first, near to far
-    minds = jnp.take_along_axis(key, order, axis=1)
+    lo_k = jnp.min(mind, axis=1, keepdims=True)
+    hi_k = jnp.max(jnp.where(overlap, mind, -INF), axis=1, keepdims=True)
+    span = jnp.maximum(hi_k - lo_k, 1e-6)
+    bucket = jnp.clip(((mind - lo_k) / span * (NBKT - 1)).astype(jnp.int32), 0, NBKT - 1)
+    bucket = jnp.where(overlap, bucket, NBKT)  # dead chunks go last
+
+    onehot_b = (
+        bucket[:, :, None] == jnp.arange(NBKT + 1)[None, None, :]
+    )  # (B, C, NBKT+1)
+    per_bucket = jnp.sum(onehot_b, axis=1)  # (B, NBKT+1)
+    offsets = jnp.cumsum(per_bucket, axis=1) - per_bucket  # exclusive
+    rank = jnp.sum(
+        jnp.cumsum(onehot_b, axis=1) * onehot_b, axis=2
+    ) - 1  # stable rank within own bucket
+    pos = jnp.sum(jnp.where(onehot_b, offsets[:, None, :], 0), axis=2) + rank  # (B, C)
+
+    # invert the permutation via a one-hot sum (scatter lowers slower);
+    # minds stay keyed by CHUNK ID -- the kernels look them up through order.
+    ppos = pos[:, :, None] == jnp.arange(n_chunks)[None, None, :]  # (B, C, C)
+    ids = jnp.arange(n_chunks, dtype=jnp.int32)
+    order = jnp.sum(jnp.where(ppos, ids[None, :, None], 0), axis=1).astype(jnp.int32)
     counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
     # rank-3 so per-block rows can be SMEM-windowed by the grid
-    return order[:, None, :], minds[:, None, :], counts[:, None, None]
+    return order[:, None, :], key[:, None, :], counts[:, None, None]
 
 
 def ray_bounds(spheres, ro_p, dh_p):
@@ -152,7 +175,7 @@ def _shared_kernel(order_ref, minds_ref, count_ref, consts_ref,
 
     def cond(state):
         j, mb = state[0], state[1]
-        return (j < n_live) & (minds_ref[0, 0, j] <= mb)
+        return (j < n_live) & (minds_ref[0, 0, order_ref[0, 0, j]] <= mb)
 
     def body(state):
         j, mb, best_t, best_u, best_v, best_tri, best_attr = state
@@ -270,7 +293,7 @@ def _general_kernel(order_ref, minds_ref, count_ref, cols_ref, r10_ref,
 
     def cond(state):
         j, mb = state[0], state[1]
-        return (j < n_live) & (minds_ref[0, 0, j] <= mb)
+        return (j < n_live) & (minds_ref[0, 0, order_ref[0, 0, j]] <= mb)
 
     def body(state):
         j, mb, best_t = state
