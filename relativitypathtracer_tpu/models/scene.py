@@ -107,6 +107,7 @@ class SceneMeta:
     num_nodes: int
     max_octree_depth: int
     use_footprint_tex: bool = True  # small textures: 1-gather footprint atlas
+    any_flash: bool = False  # scene contains proper-time flash objects
 
 
 def _morton_perm(verts: np.ndarray, tri_v: np.ndarray, tri_ids: np.ndarray) -> tuple:
@@ -370,5 +371,6 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
         # on the 4x smaller packed atlas wins over the 1-gather footprint
         # (real accesses are screen-coherent, so small 32-byte rows win).
         use_footprint_tex=bool(quads.size * 4 <= 48 * 1024 * 1024),
+        any_flash=bool((flash_period > 0).any()),
     )
     return scene, meta

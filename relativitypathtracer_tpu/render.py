@@ -238,14 +238,17 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     flat_rgb = jnp.matmul(objects.color.T, obj_onehot_f)  # (3, N)
     hit_color = jnp.where(textured[None, :], tex_rgb, flat_rgb)
 
-    period = jnp.matmul(objects.flash_period[None, :], obj_onehot_f)[0]
-    duration = jnp.matmul(objects.flash_duration[None, :], obj_onehot_f)[0]
     L_hit = gather_mats(L, obj_onehot_f)  # (4, 4, N)
     stat_cam_hit = jnp.matmul(stat_cam.T, obj_onehot_f)  # (4, N)
-    event_t = stat_cam_hit[0] + jnp.sum(L_hit[0] * dir4, axis=0) * t
-    safe_period = jnp.where(period > 0, period, 1.0)
-    flashing = (period > 0) & (event_t - safe_period * jnp.floor(event_t / safe_period) < duration)
-    hit_color = jnp.where(flashing[None, :], hit_color * 2.0, hit_color)
+    if meta.any_flash:  # static: skip proper-time flash math entirely if unused
+        period = jnp.matmul(objects.flash_period[None, :], obj_onehot_f)[0]
+        duration = jnp.matmul(objects.flash_duration[None, :], obj_onehot_f)[0]
+        event_t = stat_cam_hit[0] + jnp.sum(L_hit[0] * dir4, axis=0) * t
+        safe_period = jnp.where(period > 0, period, 1.0)
+        flashing = (period > 0) & (
+            event_t - safe_period * jnp.floor(event_t / safe_period) < duration
+        )
+        hit_color = jnp.where(flashing[None, :], hit_color * 2.0, hit_color)
 
     # --- ambient + emissive (opencl_kernel.cl:567-571) ---
     ambient = scene.ambient if interval != 0 else jnp.float32(1.0)
