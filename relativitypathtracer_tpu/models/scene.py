@@ -330,14 +330,18 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
     # Frame-invariant mesh kernel inputs (attr matrix, chunk spheres,
     # Plucker operators), precomputed once per scene.
     from ..ops.mesh_intersect import (
-        general_ray_constants, mesh_tri_vertices, tri_attr_matrix, _round_up as _ru,
+        general_ray_constants, mesh_tri_vertices, tri_attr_matrix, tri_count,
+        _round_up as _ru,
     )
     from ..ops.pallas.mesh_kernels import chunk_spheres
 
     mesh_static = []
     for k, rng_pair in enumerate(tri_ranges):
         perm_arr = jnp.asarray(perms[k], jnp.int32) if perms[k] else None
-        T_k = rng_pair[1] - rng_pair[0]
+        # T_k must be the ACTUAL row count of the kernel inputs: len(perm)
+        # when the octree-reachable set is used (it can exclude foreign tris
+        # from the shared pool, so it is NOT the seeded range length).
+        T_k = tri_count(rng_pair, perm_arr)
         T_pad_k = _ru(max(T_k, 1), 256)
         A, B, C = mesh_tri_vertices(mesh, rng_pair, perm_arr)
         mesh_static.append(MeshStatic(

@@ -38,6 +38,23 @@ INF = 1e20
 
 _PREC = jax.lax.Precision.HIGHEST
 
+# Routing override for the streaming mesh kernels. None = auto (Pallas on
+# non-CPU backends, jnp fallback on CPU); True/False force a path;
+# "interpret" runs the REAL Pallas kernels in interpret mode (CPU-testable:
+# exercises live-chunk culling, the counting sort, early termination and
+# tmax bounding -- none of which the jnp fallback contains). Tests that flip
+# this must clear the render-fn caches (they close over the resolved mode).
+PALLAS_MODE = None
+
+
+def _resolve_pallas(use_pallas):
+    if use_pallas is None:
+        use_pallas = PALLAS_MODE
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    interpret = use_pallas == "interpret"
+    return bool(use_pallas), interpret
+
 
 def _cross_cols(a, b):
     """Cross product over the LAST axis for (T, 3) row-vectors."""
@@ -190,8 +207,7 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
     scale = norm3(d)
     dh = d / scale
 
-    if use_pallas is None:
-        use_pallas = jax.default_backend() != "cpu"
+    use_pallas, interpret = _resolve_pallas(use_pallas)
     consts, c_t, T, T_pad = shared_origin_constants(mesh, tri_range, ro, perm)
 
     if use_pallas:
@@ -203,7 +219,8 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
             A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
             attrs = tri_attr_matrix(mesh, tri_range, T_pad, perm)
             spheres = chunk_spheres(A, B, C, T, T_pad)
-        bt, bu, bv, btri, battr = shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro)
+        bt, bu, bv, btri, battr = shared_nearest_hit(
+            consts, c_t, attrs, spheres, dh, ro, interpret=interpret)
         valid = btri >= 0  # kernel init is -1; any real hit overwrites it
         # attr(u, v) = base + u*du + v*dv (see tri_attr_matrix)
         interp = battr[0:5] + bu * battr[5:10] + bv * battr[10:15]
@@ -314,8 +331,7 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
     )
     r10 = jnp.concatenate([dh, mom, ro, jnp.ones((1, n))], axis=0)  # (10, N)
 
-    if use_pallas is None:
-        use_pallas = jax.default_backend() != "cpu"
+    use_pallas, interpret = _resolve_pallas(use_pallas)
     T = tri_count(tri_range, perm)
     T_pad = _round_up(max(T, 1), 256)
     if use_pallas and static is not None:
@@ -340,7 +356,7 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
             # `t < tmax` test (hits inside the margin fail it anyway).
             k_r = norm3(apply_linear3(m4, dh))
             tmax_obj = tmax * norm3(d3) / k_r * 1.001 + 1e-3
-        bt = general_min_t(cols, spheres, r10, tmax_obj)
+        bt = general_min_t(cols, spheres, r10, tmax_obj, interpret=interpret)
     else:
         Tc = min(tri_chunk, T_pad)
         n_chunks = T_pad // Tc

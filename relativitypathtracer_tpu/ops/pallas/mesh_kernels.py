@@ -101,7 +101,12 @@ def live_chunk_lists(spheres, dh_p, o_p):
     sin_b = jnp.minimum(r / jnp.maximum(dlen, 1e-12), 1.0)
     cos_b = jnp.sqrt(jnp.maximum(1.0 - sin_b * sin_b, 0.0))
     sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
-    overlap = (dlen <= r) | (
+    # Cone half-angle a plus sphere angle b can exceed pi (shadow-ray blocks
+    # whose hit points surround a light give a > pi/2): cos(a+b) then wraps
+    # and the test below would falsely cull a chunk that must overlap. Since
+    # b in [0, pi/2] (cos_b >= 0), a+b >= pi iff cos_b <= -cos_a: treat those
+    # as always-overlapping.
+    overlap = (dlen <= r) | (cos_b <= -cos_a[:, None]) | (
         cos_d >= cos_a[:, None] * cos_b - sin_a[:, None] * sin_b
     )
 
@@ -109,11 +114,17 @@ def live_chunk_lists(spheres, dh_p, o_p):
     # call here; early termination only needs APPROXIMATE front-to-back).
     n_chunks = spheres.shape[0]
     NBKT = 16
-    key = jnp.where(overlap, mind, INF)
     lo_k = jnp.min(mind, axis=1, keepdims=True)
     hi_k = jnp.max(jnp.where(overlap, mind, -INF), axis=1, keepdims=True)
     span = jnp.maximum(hi_k - lo_k, 1e-6)
     bucket = jnp.clip(((mind - lo_k) / span * (NBKT - 1)).astype(jnp.int32), 0, NBKT - 1)
+    # The kernels' early-termination test compares the NEXT chunk's distance
+    # against the block bound, assuming distances are non-decreasing along
+    # `order`. The counting sort orders by bucket only, so publish each
+    # chunk's BUCKET FLOOR (<= its true mind, constant within a bucket, and
+    # non-decreasing along the order) -- stopping on floors can never skip a
+    # chunk whose true mind is within the bound.
+    key = lo_k + bucket.astype(jnp.float32) * (span / (NBKT - 1))
     bucket = jnp.where(overlap, bucket, NBKT)  # dead chunks go last
 
     onehot_b = (
@@ -240,13 +251,14 @@ def _shared_kernel(order_ref, minds_ref, count_ref, consts_ref,
     attr_out_ref[:, :] = battr
 
 
-@jax.jit
-def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False):
     """consts: (3*T_pad, 3); c_t: (T_pad,); attrs: (15, T_pad);
     spheres: (n_chunks, 4); dh: (3, N) unit object-space dirs; ro: (3,).
 
     Returns (best_t, best_u, best_v, best_tri, attr (15, N)); best_tri is -1
-    where no triangle was hit.
+    where no triangle was hit. interpret=True runs the kernel in Pallas
+    interpret mode (CPU-testable production path).
     """
     T_pad = c_t.shape[0]
     n = dh.shape[1]
@@ -279,6 +291,7 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro):
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((N_ATTR, n_pad), jnp.float32),
         ),
+        interpret=interpret,
     )(order, minds, counts, consts, attrs, dh_p, bound)
     return bt[0, :n], bu[0, :n], bv[0, :n], btri[0, :n], battr[:, :n]
 
@@ -326,8 +339,8 @@ def _general_kernel(order_ref, minds_ref, count_ref, cols_ref, r10_ref,
     t_ref[0, :] = jnp.minimum(bt, tmax)
 
 
-@jax.jit
-def general_min_t(cols_grouped, spheres, r10, tmax_obj=None):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, interpret=False):
     """cols_grouped: (4*T_pad, 10) factor-grouped; spheres: (n_chunks, 4);
     r10: (10, N) lifted rays [dh, o x dh, o, 1]; tmax_obj: optional (N,)
     object-space search bound per ray -- the result is min(nearest hit,
@@ -355,5 +368,6 @@ def general_min_t(cols_grouped, spheres, r10, tmax_obj=None):
         ],
         out_specs=pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        interpret=interpret,
     )(order, minds, counts, cols_grouped, r10_p, tmax_p)
     return bt[0, :n]

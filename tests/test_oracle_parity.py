@@ -117,3 +117,46 @@ R
     diff = np.abs(ref - ours)
     assert diff.mean() < 1e-3
     assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.01
+
+
+def test_disjoint_two_mesh_scene(oracle, tmp_path):
+    """Two meshes with DISJOINT bounds: mesh B's root is seeded with the whole
+    shared pool but its octree-reachable set excludes A's triangle, so
+    len(perm) != seeded-range length. Regression: MeshStatic sizing used the
+    seeded length, crashing build_scene with a reshape error for exactly this
+    shape of scene."""
+    (tmp_path / "a.obj").write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    (tmp_path / "b.obj").write_text(
+        "v 100 100 100\nv 101 100 100\nv 100 101 100\nf 1 2 3\n")
+    text = """Ma.obj
+Mb.obj
+Om0
+ p-1,0,5,0,0,1,0,1,1,1
+ c0.9,0.2,0.2
+Om1
+ p101,-100,-95,0,0,1,0,1,1,1
+ c0.2,0.9,0.2
+A1
+R
+"""
+    from relativitypathtracer_tpu import parse_scene
+
+    host = parse_scene(text, str(tmp_path))
+    scene, meta = build_scene(host)  # used to crash here
+    assert len(meta.mesh_ids) == 2
+    assert len(meta.mesh_perms[1]) == 1  # B's reachable set excludes A's tri
+    # Static kernel inputs sized by the ACTUAL row count (padded to 256).
+    assert scene.mesh_static[1].attrs.shape[0] == 256
+    assert scene.mesh_static[1].spheres.shape[0] == 256 // 32
+
+    state = FrameState.initial()
+    blob = tmp_path / "dj.blob"
+    out = tmp_path / "dj.rgb"
+    write_scene_blob(str(blob), scene, meta, state, W, H)
+    subprocess.run([oracle, str(blob), str(out)], check=True, capture_output=True)
+    ref = np.fromfile(out, np.float32).reshape(H, W, 3)
+    ours = np.asarray(render_frame(scene, meta, state, W, H))
+    diff = np.abs(ref - ours)
+    assert diff.mean() < 1e-3
+    assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.01

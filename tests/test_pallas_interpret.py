@@ -1,0 +1,115 @@
+"""CPU coverage of the PRODUCTION Pallas mesh kernels via interpret mode.
+
+The golden / oracle-parity suites pin jax to CPU where the jnp fallback runs,
+so without these tests the TPU path (live-chunk cone culling, the bucketed
+counting sort, early termination, tmax search bounding in
+ops/pallas/mesh_kernels.py) would have zero automated coverage. Interpret
+mode executes the real kernel bodies (same while_loop, same SMEM windows)
+with emulated refs, so any semantic divergence from the jnp path shows up
+here.
+"""
+
+import numpy as np
+import pytest
+
+from relativitypathtracer_tpu import FrameState, build_scene, load_scene_file, render_frame
+from relativitypathtracer_tpu.models.scene import MeshArrays
+from relativitypathtracer_tpu.ops import mesh_intersect
+from relativitypathtracer_tpu.render import build_render_fn
+
+W, H = 128, 64
+
+
+def _render(scene, meta, mode):
+    """Render with the mesh-kernel routing forced to `mode` (False = jnp
+    fallback, "interpret" = real Pallas kernels in interpret mode)."""
+    mesh_intersect.PALLAS_MODE = mode
+    build_render_fn.cache_clear()  # cached renderers close over the mode
+    try:
+        return np.asarray(render_frame(scene, meta, FrameState.initial(), W, H))
+    finally:
+        mesh_intersect.PALLAS_MODE = None
+        build_render_fn.cache_clear()
+
+
+@pytest.mark.parametrize("name", ["shadows", "bunny"])
+def test_interpret_kernels_match_jnp_render(name, reference_root):
+    """Full-frame equality between the Pallas kernel path and the jnp path.
+
+    shadows.txt exercises BOTH kernels (primary mesh hits + per-light shadow
+    rays with the tmax bound); bunny.txt is the largest mesh (most chunks,
+    deepest live lists -> real early-termination traffic).
+    """
+    host = load_scene_file(str(reference_root / "Scenes" / f"{name}.txt"))
+    scene, meta = build_scene(host)
+    ref = _render(scene, meta, False)
+    got = _render(scene, meta, "interpret")
+    diff = np.abs(ref - got)
+    # Same fp32 math modulo reduce grouping; only hit/miss ties may flip.
+    frac_bad = float(np.mean(diff.max(-1) > 1e-3))
+    assert diff.mean() < 1e-4, f"mean diff {diff.mean()}"
+    assert frac_bad <= 0.002, f"{frac_bad * 100:.2f}% pixels differ > 1e-3"
+
+
+def _soup_mesh(rng, T):
+    """Random triangle soup as a MeshArrays (dummy octree/attr pools)."""
+    cent = rng.uniform(-2.0, 2.0, (T, 3)).astype(np.float32)
+    off = rng.uniform(-0.3, 0.3, (T, 2, 3)).astype(np.float32)
+    verts = np.concatenate([cent, cent + off[:, 0], cent + off[:, 1]], axis=0)
+    ids = np.arange(T, dtype=np.int32)
+    tri_v = np.stack([ids, ids + T, ids + 2 * T], axis=1)
+    z1 = np.zeros((1,), np.int32)
+    return MeshArrays(
+        vertices=verts, tri_v=tri_v,
+        tri_uv=np.zeros((T, 3), np.int32), tri_n=np.zeros((T, 3), np.int32),
+        uvs=np.zeros((1, 2), np.float32), normals=np.ones((1, 3), np.float32),
+        node_min=np.zeros((1, 3), np.float32), node_max=np.zeros((1, 3), np.float32),
+        node_tris_index=z1, node_tris_count=z1,
+        node_children=-np.ones((1, 8), np.int32),
+        node_neighbors=-np.ones((1, 6), np.int32),
+        oct_tris=z1,
+    )
+
+
+def test_interpret_shared_kernel_random_soup():
+    """Kernel-level equality on incoherent geometry: random soup gives wide
+    ray cones and heavily-overlapping chunk buckets -- the regime where an
+    unsound early-termination order would skip nearer hits."""
+    rng = np.random.default_rng(7)
+    mesh = _soup_mesh(rng, 300)
+    m4 = np.eye(4, dtype=np.float32)
+    o3 = np.array([0.0, 0.0, -6.0], np.float32)
+    d = rng.normal(size=(3, 2048)).astype(np.float32)
+    d[2] = np.abs(d[2]) + 0.5  # aim roughly at the soup
+    d /= np.linalg.norm(d, axis=0)
+
+    t0, n0, uv0, v0 = mesh_intersect.mesh_intersect_shared(
+        mesh, (0, 300), m4, m4, o3, d, use_pallas=False)
+    t1, n1, uv1, v1 = mesh_intersect.mesh_intersect_shared(
+        mesh, (0, 300), m4, m4, o3, d, use_pallas="interpret")
+    assert np.array_equal(np.asarray(v0), np.asarray(v1))
+    hit = np.asarray(v0)
+    assert np.allclose(np.asarray(t0)[hit], np.asarray(t1)[hit], rtol=1e-5, atol=1e-6)
+
+
+def test_interpret_general_kernel_tmax_semantics():
+    """general_min_t with a per-ray search bound: where the true nearest hit
+    is inside the bound the kernel must find it exactly; beyond the bound it
+    may return anything >= the bound (callers only test t < tmax)."""
+    rng = np.random.default_rng(11)
+    mesh = _soup_mesh(rng, 200)
+    m4 = np.eye(4, dtype=np.float32)
+    n = 1536
+    o = rng.uniform(-4, 4, (3, n)).astype(np.float32)
+    d = rng.normal(size=(3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0)
+    tmax = rng.uniform(0.5, 8.0, (n,)).astype(np.float32)
+
+    t_true = np.asarray(mesh_intersect.mesh_min_t_general(
+        mesh, (0, 200), m4, m4, o, d, use_pallas=False))
+    t_k = np.asarray(mesh_intersect.mesh_min_t_general(
+        mesh, (0, 200), m4, m4, o, d, use_pallas="interpret", tmax=tmax))
+
+    inside = t_true < tmax
+    assert np.allclose(t_k[inside], t_true[inside], rtol=1e-5, atol=1e-6)
+    assert np.all(t_k[~inside] >= tmax[~inside] * (1 - 1e-6))
