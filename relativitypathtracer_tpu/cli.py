@@ -64,10 +64,21 @@ def main(argv=None) -> int:
     from . import FrameState, build_render_fn, build_scene, load_scene_file, parse_scene
     from .utils.image import write_gif, write_png
 
-    if args.scene == "-":
-        host = parse_scene(sys.stdin.read(), args.asset_root or ".")
-    else:
-        host = load_scene_file(args.scene, args.asset_root)
+    # Tolerant parse, like the reference app: malformed commands warn on
+    # stderr and parsing continues (Render.cpp:227-259); asset failures and
+    # index checks still abort (with a clean message, not a traceback).
+    from .models.dsl import SceneError
+    from .models.obj_loader import ObjError
+    from .models.texture import TextureError
+
+    try:
+        if args.scene == "-":
+            host = parse_scene(sys.stdin.read(), args.asset_root or ".", strict=False)
+        else:
+            host = load_scene_file(args.scene, args.asset_root, strict=False)
+    except (SceneError, ObjError, TextureError, OSError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
     scene, meta = build_scene(host)
 
     width, height = _parse_size(args.size)
@@ -105,8 +116,6 @@ def main(argv=None) -> int:
     if args.metrics:
         timings_sorted = sorted(timings)
         p50 = timings_sorted[len(timings_sorted) // 2]
-        # steady-state = skip the compile-laden first frame
-        steady = timings_sorted[: max(1, len(timings_sorted) - 1)]
         print(json.dumps({
             "width": width, "height": height, "frames": args.frames,
             "first_ms": timings[0], "p50_ms": p50,

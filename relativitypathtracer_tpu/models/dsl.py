@@ -64,6 +64,22 @@ class HostScene:
     default_interval: int = -1
 
 
+def _atoi(s: str) -> int:
+    """C atoi: parse a leading integer, 0 if none (never raises)."""
+    import re
+
+    m = re.match(r"\s*[+-]?\d+", s)
+    return int(m.group()) if m else 0
+
+
+def _atof(s: str) -> float:
+    """C atof: parse a leading float, 0.0 if none (never raises)."""
+    import re
+
+    m = re.match(r"\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
+    return float(m.group()) if m else 0.0
+
+
 def _floats(s: str, n: int) -> list[float]:
     """Comma-separated float list, strtod-style: missing/unparsable -> 0.0."""
     out = []
@@ -113,11 +129,29 @@ def _apply_trs(obj: HostObject, args: list[float]) -> None:
     obj.inv_m = np.asarray(relmath.inverse4(m), np.float32)
 
 
-def parse_scene(text: str, asset_root: str = ".") -> HostScene:
-    """Parse DSL text (entire scene file / stdin capture) into a HostScene."""
+def parse_scene(text: str, asset_root: str = ".", strict: bool = True) -> HostScene:
+    """Parse DSL text (entire scene file / stdin capture) into a HostScene.
+
+    strict=False reproduces the reference's tolerant behavior: malformed
+    commands print to stderr and parsing CONTINUES (the `break` inside the
+    reference's switch, /root/reference/Render.cpp:227-259) -- a scene the
+    reference renders with warnings must render here too. Asset load
+    failures and the two post-pass index checks stay hard errors in both
+    modes (the reference exit(EXIT_FAILURE)s there, Render.cpp:340-359,
+    396-410). strict=True (default, used by tests) raises on the first
+    malformed command instead.
+    """
+    import sys
+
     scene = HostScene()
     objects = scene.objects
     done = False
+
+    def bad(msg: str) -> None:
+        """Malformed-command handling: raise in strict mode, warn otherwise."""
+        if strict:
+            raise SceneError(msg)
+        print(msg, file=sys.stderr)
 
     for line in text.splitlines():
         if done:
@@ -128,7 +162,8 @@ def parse_scene(text: str, asset_root: str = ".") -> HostScene:
             cmd = tok[0]
             if cmd == "O":
                 if len(tok) < 2:
-                    raise SceneError("Object command missing argument")
+                    bad("Object command missing argument")
+                    continue
                 kind = tok[1]
                 if kind == "s":
                     objects.append(HostObject(SPHERE))
@@ -136,54 +171,61 @@ def parse_scene(text: str, asset_root: str = ".") -> HostScene:
                     objects.append(HostObject(CUBE))
                 elif kind == "m":
                     if len(tok) < 3:
-                        raise SceneError("Object mesh command missing argument")
+                        bad("Object mesh command missing argument")
+                        continue
                     ob = HostObject(MESH)
-                    ob.mesh_root = int(tok[2:])
+                    ob.mesh_root = _atoi(tok[2:])
                     objects.append(ob)
                 else:
-                    raise SceneError(f'Object command unrecognized argument: "{tok[1:]}"')
+                    bad(f'Object command unrecognized argument: "{tok[1:]}"')
             elif cmd == "p":
-                _require_object(objects, "transformation")
+                if not _have_object(objects, "transformation", bad) or not _have_arg(tok, "Transformation", bad):
+                    continue
                 _apply_trs(objects[-1], _floats(tok[1:], 10))
             elif cmd == "c":
-                _require_object(objects, "color")
+                if not _have_object(objects, "color", bad) or not _have_arg(tok, "Color", bad):
+                    continue
                 objects[-1].color = np.array(_floats(tok[1:], 3), np.float32)
             elif cmd == "t":
-                _require_object(objects, "texture")
-                objects[-1].tex_offset = int(tok[1:])
+                if not _have_object(objects, "texture", bad) or not _have_arg(tok, "Texture", bad):
+                    continue
+                objects[-1].tex_offset = _atoi(tok[1:])
             elif cmd == "l":
-                _require_object(objects, "light")
-                objects[-1].light = bool(int(tok[1:]))
+                if not _have_object(objects, "light", bad) or not _have_arg(tok, "Light", bad):
+                    continue
+                objects[-1].light = bool(_atoi(tok[1:]))
             elif cmd == "v":
-                _require_object(objects, "velocity")
+                if not _have_object(objects, "velocity", bad) or not _have_arg(tok, "Velocity", bad):
+                    continue
                 objects[-1].velocity = np.array(_floats(tok[1:], 3), np.float32)
             elif cmd == "f":
-                _require_object(objects, "periodic flash")
+                if not _have_object(objects, "periodic flash", bad) or not _have_arg(tok, "Flash", bad):
+                    continue
                 args = _floats(tok[1:], 2)
                 objects[-1].flash_period = args[0]
                 objects[-1].flash_duration = args[1]
             elif cmd == "T":
-                if len(tok) < 2:
-                    raise SceneError("Texture command missing argument")
+                if not _have_arg(tok, "Texture", bad):
+                    continue
                 read_texture(resolve_asset(tok[1:], asset_root), scene.textures, scene.texture_values)
             elif cmd == "M":
-                if len(tok) < 2:
-                    raise SceneError("Mesh command missing argument")
+                if not _have_arg(tok, "Mesh", bad):
+                    continue
                 read_obj(resolve_asset(tok[1:], asset_root), scene.mesh)
             elif cmd == "A":
-                if len(tok) < 2:
-                    raise SceneError("Ambient command missing argument")
-                scene.ambient = float(tok[1:])
+                if not _have_arg(tok, "Ambient", bad):
+                    continue
+                scene.ambient = _atof(tok[1:])
             elif cmd == "W":
-                if len(tok) < 2:
-                    raise SceneError("White-point command missing argument")
+                if not _have_arg(tok, "White-point", bad):
+                    continue
                 scene.white_point = np.array(_floats(tok[1:], 3), np.float32)
             elif cmd == "I":
                 scene.default_interval = 0
             elif cmd == "R":
                 done = True
             else:
-                raise SceneError(f'Unrecognized command: "{tok}"')
+                bad(f'Unrecognized command: "{tok}"')
 
     # Post-pass: resolve texture import indices -> (byte offset, w, h) and mesh
     # import indices -> octree root node indices (Render.cpp:393-413).
@@ -204,16 +246,25 @@ def parse_scene(text: str, asset_root: str = ".") -> HostScene:
     return scene
 
 
-def _require_object(objects, what: str) -> None:
+def _have_object(objects, what: str, bad) -> bool:
     if not objects:
-        raise SceneError(f"Object must be defined before applying a {what}")
+        bad(f"Object must be defined before applying a {what}")
+        return False
+    return True
 
 
-def load_scene_file(path: str, asset_root: str | None = None) -> HostScene:
+def _have_arg(tok: str, what: str, bad) -> bool:
+    if len(tok) < 2:
+        bad(f"{what} command missing argument")
+        return False
+    return True
+
+
+def load_scene_file(path: str, asset_root: str | None = None, strict: bool = True) -> HostScene:
     with open(path, "r") as f:
         text = f.read()
     if asset_root is None:
         # Reference scenes use paths relative to the repo root (one level above
         # Scenes/), e.g. "Models/bunny.obj".
         asset_root = os.path.dirname(os.path.dirname(os.path.abspath(path)))
-    return parse_scene(text, asset_root)
+    return parse_scene(text, asset_root, strict=strict)

@@ -90,11 +90,15 @@ def _exit_face(sdir, pos):
     return face, new_pos
 
 
-def octree_intersect(mesh, root: int, m4, inv_m, o3, d3, *, iteration_cap=4096):
+def octree_intersect(mesh, root: int, m4, inv_m, o3, d3, *, iteration_cap=16384):
     """Nearest-hit via octree walk. o3: (3,) shared origin; d3: (3, N).
 
-    Returns (t, normal (3, N), uv (2, N), valid), identical semantics to
-    mesh_intersect_shared.
+    Returns (t, normal (3, N), uv (2, N), valid, converged): identical hit
+    semantics to mesh_intersect_shared, plus a scalar bool that is False iff
+    the iteration cap stopped the walk with lanes still active -- in which
+    case results may be incomplete and MUST NOT be used as an oracle.
+    (This walker is validation-grade; the cap exists only to bound the
+    compiled loop, and exhausting it must never masquerade as a clean run.)
     """
     n = d3.shape[1]
     ro = apply_affine3(inv_m, o3)  # (3,)
@@ -199,7 +203,8 @@ def octree_intersect(mesh, root: int, m4, inv_m, o3, d3, *, iteration_cap=4096):
     state = (active, node, pos_world, cursor, best_t, best_u, best_v, best_tri,
              jnp.int32(0))
     state = jax.lax.while_loop(cond, body, state)
-    _, _, _, _, best_t, best_u, best_v, best_tri, _ = state
+    final_active, _, _, _, best_t, best_u, best_v, best_tri, _ = state
+    converged = ~jnp.any(final_active)  # False => cap exhausted mid-walk
 
     valid = best_t < INF
     tri = jnp.clip(best_tri, 0, mesh.tri_v.shape[0] - 1)
@@ -221,4 +226,4 @@ def octree_intersect(mesh, root: int, m4, inv_m, o3, d3, *, iteration_cap=4096):
     world_pt = apply_affine3(m4, obj_pt)
     t = norm3(world_pt - o3[:, None]) / norm3(d3)
     t = jnp.where(valid, t, INF)
-    return t, normal, uv, valid
+    return t, normal, uv, valid, converged

@@ -16,44 +16,6 @@ import jax
 import jax.numpy as jnp
 
 
-def bilinear_sample(atlas, offset, width, height, uv):
-    """atlas: (B,) uint8; offset/width/height: (N,) int32; uv: (2, N) float.
-
-    Returns (3, N) float RGB in [0, 1].
-    """
-    w = width
-    h = height
-    u = w.astype(jnp.float32) * uv[0]
-    v = h.astype(jnp.float32) * (1.0 - uv[1])
-    x = jnp.minimum(jnp.floor(u).astype(jnp.int32), w - 1)
-    y = jnp.minimum(jnp.floor(v).astype(jnp.int32), h - 1)
-    u_ratio = u - x.astype(jnp.float32)
-    v_ratio = v - y.astype(jnp.float32)
-    u_opp = 1.0 - u_ratio
-    v_opp = 1.0 - v_ratio
-
-    # The reference indexes the first tap unclamped-below (UB for uv < 0); we
-    # clamp to keep gathers in-bounds, which only differs on out-of-range UVs.
-    x0 = jnp.clip(x, 0, w - 1)
-    y0 = jnp.clip(y, 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x2 = jnp.clip(x1 - 1, 0, w - 1)  # reference quirk: derived from x1, not x0
-
-    limit = atlas.shape[0] - 3
-
-    def fetch(xi, yi):
-        base = jnp.clip(offset + 3 * (w * yi + xi), 0, limit)
-        r = jnp.take(atlas, base).astype(jnp.float32)
-        g = jnp.take(atlas, base + 1).astype(jnp.float32)
-        b = jnp.take(atlas, base + 2).astype(jnp.float32)
-        return jnp.stack([r, g, b]) / 255.0  # (3, N)
-
-    row1 = (fetch(x0, y0) * u_opp + fetch(x1, y0) * u_ratio) * v_opp
-    row2 = (fetch(x1, y1) * u_ratio + fetch(x2, y1) * u_opp) * v_ratio
-    return row1 + row2
-
-
 def bilinear_sample_packed(atlas_u32, offset_texels, width, height, uv):
     """Bilinear sample from the RGB-packed uint32 atlas.
 

@@ -167,3 +167,53 @@ def test_texture_atlas(reference_root):
     assert len(atlas) == 3 * w * h
     read_texture(str(reference_root / "Textures" / "tile.jpg"), atlas, values)
     assert values[3] == 3 * w * h  # second texture appended at running offset
+
+
+def test_tolerant_parse_warns_and_continues(capsys):
+    """strict=False mirrors the reference: malformed commands print to stderr
+    and parsing continues (Render.cpp:227-259 `break` inside the switch)."""
+    from relativitypathtracer_tpu.models.dsl import parse_scene
+
+    text = """c1,0,0
+Xjunk
+O
+Os
+ c0.5,0.5,0.5
+ q9
+R
+"""
+    host = parse_scene(text, strict=False)
+    err = capsys.readouterr().err
+    assert "Object must be defined" in err
+    assert 'Unrecognized command: "Xjunk"' in err
+    assert "Object command missing argument" in err
+    assert 'Unrecognized command: "q9"' in err
+    assert len(host.objects) == 1  # the valid sphere survived
+    assert host.objects[0].color[0] == pytest.approx(0.5)
+
+
+def test_strict_parse_raises():
+    from relativitypathtracer_tpu.models.dsl import SceneError, parse_scene
+
+    with pytest.raises(SceneError):
+        parse_scene("Xjunk\nR\n", strict=True)
+
+
+def test_tolerant_parse_still_hard_fails_index_checks():
+    """The two post-pass index checks exit hard in the reference
+    (Render.cpp:396-410) and must raise even in tolerant mode."""
+    from relativitypathtracer_tpu.models.dsl import SceneError, parse_scene
+
+    with pytest.raises(SceneError, match="Texture index"):
+        parse_scene("Os\n t3\nR\n", strict=False)
+    with pytest.raises(SceneError, match="Mesh index"):
+        parse_scene("Om0\nR\n", strict=False)
+
+
+def test_tolerant_parse_atoi_semantics():
+    """Non-numeric arguments parse like C atoi/atof (0, no crash)."""
+    from relativitypathtracer_tpu.models.dsl import parse_scene
+
+    host = parse_scene("Os\n lx\n A0.25zz\nR\n", strict=False)
+    assert host.objects[0].light is False  # atoi("x") == 0
+    assert host.ambient == pytest.approx(0.25)  # atof("0.25zz") == 0.25
