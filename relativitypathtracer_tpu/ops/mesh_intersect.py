@@ -312,6 +312,9 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
     o3: (3, N) rest-frame spatial origins; d3: (3, N) spatial dirs.
     tmax: optional (N,) search bound in ray-parameter units (the light
     distance for shadow rays); hits beyond it need not be found exactly.
+    Lanes with tmax == 0 are treated as fully masked: they are excluded from
+    the block bounding cones (their origins/dirs may be garbage) and their
+    search bound is EXACTLY zero so masked-only blocks run no chunk work.
     Returns t (N,), INF where no hit, converted to the shared ray parameter.
     """
     n = d3.shape[1]
@@ -348,15 +351,21 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
             A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
             spheres = chunk_spheres(A, B, C, T, T_pad, tc=TC_GEN)
         tmax_obj = None
+        valid = None
         if tmax is not None:
             # Convert the t-parameter bound to object-space distance: along a
             # ray, t = bt * |M3 dh| / |d3| (M maps object space back to the
             # rest frame and the origin is a fixed point of the round trip).
             # 0.1% margin keeps the no-hit result strictly beyond the caller's
-            # `t < tmax` test (hits inside the margin fail it anyway).
+            # `t < tmax` test (hits inside the margin fail it anyway). Masked
+            # lanes (tmax == 0) keep an EXACT zero bound -- the margin would
+            # otherwise keep whole blocks walking floor-0 chunks for lanes
+            # whose result is discarded.
+            valid = tmax > 0.0
             k_r = norm3(apply_linear3(m4, dh))
-            tmax_obj = tmax * norm3(d3) / k_r * 1.001 + 1e-3
-        bt = general_min_t(cols, spheres, r10, tmax_obj, interpret=interpret)
+            tmax_obj = jnp.where(valid, tmax * norm3(d3) / k_r * 1.001 + 1e-3, 0.0)
+        bt = general_min_t(cols, spheres, r10, tmax_obj, valid=valid,
+                           interpret=interpret)
     else:
         Tc = min(tri_chunk, T_pad)
         n_chunks = T_pad // Tc

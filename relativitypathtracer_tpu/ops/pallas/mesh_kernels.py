@@ -79,10 +79,14 @@ def _cones_of(dh_blocks, o_blocks):
     return oc, axis, cos_a, o_rad
 
 
-def live_chunk_lists(spheres, dh_p, o_p):
+def live_chunk_lists(spheres, dh_p, o_p, valid=None):
     """Dense (block, chunk) culling + compaction, all outside the kernel.
 
     spheres: (n_chunks, 4); dh_p/o_p: (3, n_pad) unit dirs / origins.
+    valid: optional (n_pad,) bool -- lanes whose rays are masked out (their
+    origins/dirs may be garbage, e.g. miss-lane shadow rays) are excluded
+    from the block bounding cones so they cannot blow up the cone radius and
+    defeat culling for the block's real lanes.
     Returns (order (n_blocks, n_chunks) i32 front-to-back live chunk ids,
              minds (n_blocks, n_chunks) f32 sorted chunk min-distances,
              counts (n_blocks, 1) i32 live counts).
@@ -90,6 +94,13 @@ def live_chunk_lists(spheres, dh_p, o_p):
     n_blocks = dh_p.shape[1] // NB
     d = dh_p.reshape(3, n_blocks, NB)
     o = o_p.reshape(3, n_blocks, NB)
+    if valid is not None:
+        v = valid.reshape(1, n_blocks, NB)
+        nv = jnp.maximum(jnp.sum(v, axis=2, keepdims=True), 1)
+        o_mean = jnp.sum(jnp.where(v, o, 0.0), axis=2, keepdims=True) / nv
+        d_mean = jnp.sum(jnp.where(v, d, 0.0), axis=2, keepdims=True) / nv
+        o = jnp.where(v, o, o_mean)
+        d = jnp.where(v, d, d_mean)  # non-unit stand-in: only shapes the cone
     apex, axis, cos_a, o_rad = _cones_of(d, o)
 
     c = spheres[:, :3]  # (n_chunks, 3)
@@ -147,20 +158,6 @@ def live_chunk_lists(spheres, dh_p, o_p):
     return order[:, None, :], key[:, None, :], counts[:, None, None]
 
 
-def ray_bounds(spheres, ro_p, dh_p):
-    """Per-lane search bound: slab far-distance vs the union box of all chunk
-    spheres (0 for rays that miss it entirely). ro_p/dh_p: (3, n_pad)."""
-    lo = jnp.min(spheres[:, :3] - spheres[:, 3:4], axis=0)
-    hi = jnp.max(spheres[:, :3] + spheres[:, 3:4], axis=0)
-    inv = 1.0 / dh_p
-    t0 = (lo[:, None] - ro_p) * inv
-    t1 = (hi[:, None] - ro_p) * inv
-    near = jnp.max(jnp.minimum(t0, t1), axis=0)
-    far = jnp.min(jnp.maximum(t0, t1), axis=0)
-    hits_box = (near <= far) & (far > 0)
-    return jnp.where(hits_box, far * 1.001 + 1e-3, 0.0)
-
-
 def _mt_mask(det, u, v, dist, tri_ok):
     return (
         (jnp.abs(det) >= EPSILON)
@@ -170,23 +167,41 @@ def _mt_mask(det, u, v, dist, tri_ok):
     )
 
 
-def _shared_kernel(order_ref, minds_ref, count_ref, consts_ref,
-                   attr_ref, dh_ref, bound_ref,
+def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
+                   attr_ref, dh_ref,
                    t_ref, u_ref, v_ref, tri_ref, attr_out_ref,
                    *, T: int, T_pad: int):
     """Iterate this block's live chunks (front-to-back) with a while loop
     of dynamic trip count -- culled chunks genuinely cost nothing, and the
     walk stops early once every lane's current bound is nearer than the next
     chunk. order/minds/count arrive as per-block (1, 1, n_chunks) SMEM
-    windows (rank-3: leading dims may be blocked freely)."""
+    windows (rank-3: leading dims may be blocked freely); box_ref holds
+    [union-box lo(3), hi(3), shared origin ro(3)] scalars in SMEM."""
     dh = dh_ref[:]  # (3, NB)
     nb = dh.shape[1]
     n_live = count_ref[0, 0, 0]
-    bound_vec = bound_ref[0, :]
+
+    # Per-lane search bound: slab far-distance vs the union box of all chunk
+    # spheres (0 for rays that miss it -> their lanes never extend the walk).
+    # Fused here (scalar box + resident dh) instead of a separate XLA pass:
+    # the standalone version cost ~1ms/frame in HBM round-trips.
+    far = jnp.full((nb,), INF, jnp.float32)
+    near = jnp.full((nb,), -INF, jnp.float32)
+    for ax in range(3):
+        inv = 1.0 / dh[ax]
+        t0 = (box_ref[0, ax] - box_ref[0, 6 + ax]) * inv
+        t1 = (box_ref[0, 3 + ax] - box_ref[0, 6 + ax]) * inv
+        near = jnp.maximum(near, jnp.minimum(t0, t1))
+        far = jnp.minimum(far, jnp.maximum(t0, t1))
+    hits_box = (near <= far) & (far > 0)
+    bound_vec = jnp.where(hits_box, far * 1.001 + 1e-3, 0.0)
 
     def cond(state):
+        # STRICT inequality: a hit at dist == mb cannot beat any lane's
+        # min(best_t, bound) -- and chunks at floor 0 must not keep a block
+        # alive once every lane's bound is 0.
         j, mb = state[0], state[1]
-        return (j < n_live) & (minds_ref[0, 0, order_ref[0, 0, j]] <= mb)
+        return (j < n_live) & (minds_ref[0, 0, order_ref[0, 0, j]] < mb)
 
     def body(state):
         j, mb, best_t, best_u, best_v, best_tri, best_attr = state
@@ -236,7 +251,9 @@ def _shared_kernel(order_ref, minds_ref, count_ref, consts_ref,
 
     init = (
         jnp.int32(0),
-        jnp.float32(INF),
+        # Start from the block's true bound (not INF): blocks whose every
+        # lane misses the union box (bound 0) run ZERO chunk iterations.
+        jnp.max(bound_vec),
         jnp.full((nb,), INF, jnp.float32),
         jnp.zeros((nb,), jnp.float32),
         jnp.zeros((nb,), jnp.float32),
@@ -266,7 +283,9 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False):
     dh_p = jnp.pad(dh, ((0, 0), (0, n_pad - n)), constant_values=1.0)
     ro_p = jnp.broadcast_to(ro[:, None], (3, n_pad))
     order, minds, counts = live_chunk_lists(spheres, dh_p, ro_p)
-    bound = ray_bounds(spheres, ro_p, dh_p)[None, :]
+    lo = jnp.min(spheres[:, :3] - spheres[:, 3:4], axis=0)
+    hi = jnp.max(spheres[:, :3] + spheres[:, 3:4], axis=0)
+    box = jnp.concatenate([lo, hi, ro])[None, :]  # (1, 9) scalars
 
     kernel = functools.partial(_shared_kernel, T=T_pad, T_pad=T_pad)
     out_vec = pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -277,10 +296,10 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False):
             pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 9), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((consts.shape[0], 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T_pad, N_ATTR), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(out_vec, out_vec, out_vec, out_vec,
                    pl.BlockSpec((N_ATTR, NB), lambda i: (0, i), memory_space=pltpu.VMEM)),
@@ -292,7 +311,7 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False):
             jax.ShapeDtypeStruct((N_ATTR, n_pad), jnp.float32),
         ),
         interpret=interpret,
-    )(order, minds, counts, consts, attrs, dh_p, bound)
+    )(order, minds, counts, box, consts, attrs, dh_p)
     return bt[0, :n], bu[0, :n], bv[0, :n], btri[0, :n], battr[:, :n]
 
 
@@ -305,8 +324,11 @@ def _general_kernel(order_ref, minds_ref, count_ref, cols_ref, r10_ref,
     tmax = tmax_ref[0, :]
 
     def cond(state):
+        # Strict < : see _shared_kernel. Critical for shadow blocks whose
+        # lanes all carry tmax == 0 (masked-irrelevant): chunk floors of 0
+        # must not keep the walk alive.
         j, mb = state[0], state[1]
-        return (j < n_live) & (minds_ref[0, 0, order_ref[0, 0, j]] <= mb)
+        return (j < n_live) & (minds_ref[0, 0, order_ref[0, 0, j]] < mb)
 
     def body(state):
         j, mb, best_t = state
@@ -332,19 +354,23 @@ def _general_kernel(order_ref, minds_ref, count_ref, cols_ref, r10_ref,
         # occluders beyond it are irrelevant, so chunks past it stop the walk.
         return j + 1, jnp.max(jnp.minimum(new_t, tmax)), new_t
 
-    # (A VMEM-loaded vector as loop carry init crashes Mosaic; start from a
-    # constant and fold tmax into the reduce + the final min instead.)
-    init = (jnp.int32(0), jnp.float32(INF), jnp.full((nb,), INF, jnp.float32))
+    # (A VMEM-loaded VECTOR as loop carry init crashes Mosaic; a scalar
+    # reduce of one is fine.) Starting mb at the block's max tmax instead of
+    # INF means blocks whose lanes are all masked-irrelevant (tmax 0) run
+    # ZERO chunk iterations.
+    init = (jnp.int32(0), jnp.max(tmax), jnp.full((nb,), INF, jnp.float32))
     _, _, bt = jax.lax.while_loop(cond, body, init)
     t_ref[0, :] = jnp.minimum(bt, tmax)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, interpret=False):
+def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, valid=None,
+                  interpret=False):
     """cols_grouped: (4*T_pad, 10) factor-grouped; spheres: (n_chunks, 4);
     r10: (10, N) lifted rays [dh, o x dh, o, 1]; tmax_obj: optional (N,)
     object-space search bound per ray -- the result is min(nearest hit,
-    tmax_obj). Returns per-ray min object-space distance."""
+    tmax_obj); valid: optional (N,) lanes included in the culling cones.
+    Returns per-ray min object-space distance."""
     T_pad = cols_grouped.shape[0] // 4
     n = r10.shape[1]
     n_pad = _round_up(n, NB)
@@ -352,7 +378,9 @@ def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, interpret=False):
     if tmax_obj is None:
         tmax_obj = jnp.full((n,), INF, jnp.float32)
     tmax_p = jnp.pad(tmax_obj, (0, n_pad - n))[None, :]
-    order, minds, counts = live_chunk_lists(spheres, r10_p[0:3], r10_p[6:9])
+    valid_p = None if valid is None else jnp.pad(valid, (0, n_pad - n))
+    order, minds, counts = live_chunk_lists(
+        spheres, r10_p[0:3], r10_p[6:9], valid=valid_p)
 
     kernel = functools.partial(_general_kernel, T=T_pad, T_pad=T_pad)
     bt = pl.pallas_call(

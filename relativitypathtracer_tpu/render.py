@@ -229,8 +229,18 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     tex_w = jnp.maximum(sel_i32(objects.tex_w), 1)
     tex_h = jnp.maximum(sel_i32(objects.tex_h), 1)
     if meta.use_footprint_tex:
+        from .ops.mesh_intersect import _resolve_pallas
+        from .ops.pallas.texture_kernel import MAX_ROWS, footprint_sample_small
+
         fp = jnp.stack([sel_i32(scene.tex_fp[:, k]) for k in range(6)])  # (6, N)
-        tex_rgb = bilinear_sample_footprint(scene.tex_quads, fp, tex_w, tex_h, uv)
+        use_p, interp = _resolve_pallas(None)
+        if use_p and scene.tex_quads.shape[0] <= MAX_ROWS:
+            # Small atlas: VMEM-resident one-hot MXU fetch (the XLA row
+            # gather costs ~4.3ms/786k rays even on a 4KB table).
+            tex_rgb = footprint_sample_small(
+                scene.tex_quads, fp, tex_w, tex_h, uv, interpret=interp)
+        else:
+            tex_rgb = bilinear_sample_footprint(scene.tex_quads, fp, tex_w, tex_h, uv)
     else:
         tex_rgb = bilinear_sample_packed(
             scene.textures_packed, jnp.maximum(tex_off, 0) // 3, tex_w, tex_h, uv
