@@ -1,0 +1,142 @@
+"""Interactive viewer tests: ViewerCore semantics (matching the reference's
+key behavior, /root/reference/Render.cpp:120-209) and the headless web
+frontend end-to-end over HTTP."""
+
+import json
+import time
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+# Tiny asset-free scene: a sphere light plus a colored cube.
+SCENE = """
+Os
+ p0,3,6,0,0,1,0,0.3,0.3,0.3
+ c1,1,1
+ l1
+Oc
+ p0,-1,5,0,0,1,0,1,1,1
+ c0.8,0.2,0.2
+A0.3
+W2,2,2
+R
+"""
+
+
+@pytest.fixture(scope="module")
+def core():
+    from relativitypathtracer_tpu.models.dsl import parse_scene
+    from relativitypathtracer_tpu.viewer import ViewerCore
+
+    return ViewerCore(parse_scene(SCENE), 64, 48)
+
+
+def _speed(core):
+    return float(np.linalg.norm(np.asarray(core.sim.frame.cam_velocity)))
+
+
+def test_frame_shape_and_paused_start(core):
+    img = core.frame(set(), now_s=0.0)
+    assert img.shape == (48, 64, 3) and img.dtype == np.uint8
+    assert img.max() > 0  # the lit cube is visible
+    assert core.sim.paused  # scenes start paused (Render.cpp:12)
+
+
+def test_space_edge_toggles_pause(core):
+    core.frame(set(), now_s=1.000)
+    core.frame({" "}, now_s=1.016)
+    assert not core.sim.paused
+    core.frame({" "}, now_s=1.032)  # still held: no re-toggle (edge-detected)
+    assert not core.sim.paused
+    core.frame(set(), now_s=1.048)
+    core.frame({" "}, now_s=1.064)
+    assert core.sim.paused
+    core.frame(set(), now_s=1.080)
+
+
+def test_time_advances_only_unpaused(core):
+    core.frame(set(), now_s=2.000)
+    t0 = float(np.asarray(core.sim.frame.cam_pos)[0])
+    core.frame(set(), now_s=2.100)
+    assert float(np.asarray(core.sim.frame.cam_pos)[0]) == t0  # paused
+    core.frame({" "}, now_s=2.116)  # unpause
+    core.frame(set(), now_s=2.132)
+    core.frame(set(), now_s=2.232)
+    assert float(np.asarray(core.sim.frame.cam_pos)[0]) > t0
+    core.frame({" "}, now_s=2.248)  # re-pause for later tests
+    core.frame(set(), now_s=2.264)
+    assert core.sim.paused
+
+
+def test_wasd_accelerates_and_r_resets(core):
+    core.frame(set(), now_s=3.000)
+    v0 = _speed(core)
+    core.frame({"w"}, now_s=3.016)
+    assert _speed(core) > v0
+    core.frame({"r"}, now_s=3.032)
+    assert _speed(core) == 0.0
+
+
+def test_resize_swaps_renderer(core):
+    core.resize(96, 64)
+    img = core.frame(set(), now_s=4.0)
+    assert img.shape == (64, 96, 3)
+    core.resize(64, 48)  # back (lru-cached: no recompile)
+    assert core.frame(set(), now_s=4.1).shape == (48, 64, 3)
+
+
+def test_stats_keys(core):
+    s = core.stats()
+    assert set(s) >= {"fps", "paused", "interval", "speed_c", "time_s", "size"}
+
+
+def test_web_frontend_end_to_end():
+    from relativitypathtracer_tpu.models.dsl import parse_scene
+    from relativitypathtracer_tpu.viewer import ViewerCore, run_web
+
+    # Fresh core: the module fixture's synthetic timestamps must not leak
+    # into the wall-clock-driven web loop (render fn is lru-cached anyway).
+    core = ViewerCore(parse_scene(SCENE), 64, 48)
+
+    stop = threading.Event()
+    port_holder = {}
+    ready = threading.Event()
+
+    def on_ready(port):
+        port_holder["port"] = port
+        ready.set()
+
+    t = threading.Thread(
+        target=run_web,
+        kwargs=dict(core=core, port=0, on_ready=on_ready, stop_event=stop),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(30)
+    base = f"http://127.0.0.1:{port_holder['port']}"
+    try:
+        html = urllib.request.urlopen(f"{base}/", timeout=10).read()
+        assert b"Relativistic TPU Ray Tracer" in html
+        jpeg = urllib.request.urlopen(f"{base}/frame", timeout=30).read()
+        assert jpeg[:2] == b"\xff\xd8"  # JPEG SOI
+        # hold 'w' over HTTP until the loop has sampled it, then release
+        urllib.request.urlopen(
+            urllib.request.Request(f"{base}/key?c=w&d=1", method="POST"), timeout=10)
+        deadline = time.monotonic() + 20
+        stats = {}
+        while time.monotonic() < deadline:
+            stats = json.loads(
+                urllib.request.urlopen(f"{base}/stats", timeout=10).read())
+            if stats["speed_c"] > 0:
+                break
+            time.sleep(0.05)
+        urllib.request.urlopen(
+            urllib.request.Request(f"{base}/key?c=*&d=0", method="POST"), timeout=10)
+        assert stats["size"] == [64, 48]
+        assert stats["speed_c"] > 0  # the held 'w' accelerated the camera
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not t.is_alive()
