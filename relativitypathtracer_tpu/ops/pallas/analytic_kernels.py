@@ -1,0 +1,335 @@
+"""Pallas TPU kernels for analytic primitives (spheres + cubes).
+
+The jnp analytic path (render.intersect_scene / scene_min_t) runs
+ceil(O/8) sequential vmapped passes, each materializing ~(8, N) transient
+arrays in HBM -- for a 34-cube scene that is ~150MB of HBM traffic per
+chunk and dominates the frame (cubes.txt spent 14.6ms with ZERO
+triangles). These kernels are the fused TPU answer: every object's
+frame-composed constants live in SMEM (a few hundred scalars), each
+1024-ray block stays resident in VMEM, and a fori_loop walks ALL objects
+per block with scalar-broadcast FMAs -- one HBM read of the rays and one
+write of the results, total.
+
+Geometry semantics mirror the reference intersectors exactly
+(intersect_sphere /root/reference/opencl_kernel.cl:335-359,
+intersect_cube :312-333, object iteration :379-424):
+- The per-object ray transform chain (Lorentz boost L, then the object's
+  inverse model matrix) is pre-fused OUTSIDE the kernel into a single
+  (3, 4) matrix A = inv_m[:3,:3] @ L[1:4,:] per object, since both are
+  per-object constants within a frame. Rays enter the kernel ONCE, in the
+  camera frame.
+- Sphere/cube code is specialized at TRACE time from the static kind
+  list: a cubes-only scene emits no sphere math at all (and vice versa).
+- Mosaic has no atan2/arcsin lowering, so the kernel returns the winning
+  object-space hit point + winner kind, and the wrapper computes the
+  spherical-UV transcendentals outside on the final (3, N) values only.
+
+Object count is small (tens), so there is no culling/live-list machinery:
+a fixed O-iteration loop per block is already compute-trivial next to the
+HBM traffic it replaces.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPSILON = 1e-7
+INF = 1e20
+NB = 1024  # rays per block (matches the mesh kernels' screen-tile blocks)
+
+# params row layout (one row of 32 f32 per object):
+#   [0:12)  A   -- fused dir/origin transform (3, 4) row-major
+#   [12:15) b   -- affine translation (object-space origin for shared-origin
+#                  kernels; inv_m translation for general-origin kernels)
+#   [15:24) NT  -- inv_m[:3,:3]^T row-major (normal transform)
+#   [24]    id  -- global object index (float; exact for O < 2^24)
+PARAM_COLS = 32
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pack_analytic_params(L, inv_m, stat_cam, ids):
+    """Fuse each object's frame chain into kernel constants, in-jit.
+
+    L: (O, 4, 4) camera->rest Lorentz; inv_m: (O, 4, 4); stat_cam: (O, 4)
+    camera event in each object's Lorentz frame; ids: static index tuple.
+    Returns (G_pad, PARAM_COLS) f32 with G = len(ids) rows used.
+    """
+    idx = jnp.asarray(ids, jnp.int32)
+    Lg = L[idx]
+    ig = inv_m[idx]
+    R = ig[:, :3, :3]
+    A = jnp.einsum("gij,gjk->gik", R, Lg[:, 1:4, :])  # (G, 3, 4)
+    # shared-origin object-space origin: inv_m affine of stat_cam's spatial part
+    ro = jnp.einsum("gij,gj->gi", R, stat_cam[idx][:, 1:4]) + ig[:, :3, 3]
+    NT = jnp.swapaxes(R, 1, 2).reshape(-1, 9)
+    idf = idx.astype(jnp.float32)[:, None]
+    rows = jnp.concatenate([A.reshape(-1, 12), ro, NT, idf], axis=1)
+    return jnp.pad(rows, ((0, 0), (0, PARAM_COLS - rows.shape[1])))
+
+
+def pack_analytic_params_general(L, inv_m, ids):
+    """Params for per-ray-origin kernels: b is inv_m's translation (origins
+    are transformed in-kernel: ro = A @ o4 + b)."""
+    idx = jnp.asarray(ids, jnp.int32)
+    Lg = L[idx]
+    ig = inv_m[idx]
+    R = ig[:, :3, :3]
+    A = jnp.einsum("gij,gjk->gik", R, Lg[:, 1:4, :])
+    b = ig[:, :3, 3]
+    NT = jnp.swapaxes(R, 1, 2).reshape(-1, 9)
+    idf = idx.astype(jnp.float32)[:, None]
+    rows = jnp.concatenate([A.reshape(-1, 12), b, NT, idf], axis=1)
+    return jnp.pad(rows, ((0, 0), (0, PARAM_COLS - rows.shape[1])))
+
+
+def _affine_rows(p_ref, g, vec4, with_b: bool):
+    """A @ vec4 (+ b) with scalar-broadcast FMAs. vec4: (4, NB) VMEM value."""
+    out = []
+    for ax in range(3):
+        acc = p_ref[g, 4 * ax] * vec4[0]
+        for j in range(1, 4):
+            acc = acc + p_ref[g, 4 * ax + j] * vec4[j]
+        if with_b:
+            acc = acc + p_ref[g, 12 + ax]
+        out.append(acc)
+    return out  # list of 3 (NB,) values
+
+
+def _sphere_hit(ro, dh):
+    """Unit-sphere hit (object space). ro/dh: lists of 3 (NB,) values.
+    Returns (dist, valid, obj_pt list)."""
+    b = -(ro[0] * dh[0] + ro[1] * dh[1] + ro[2] * dh[2])
+    c = ro[0] * ro[0] + ro[1] * ro[1] + ro[2] * ro[2] - 1.0
+    disc = b * b - c
+    hit = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    near = b - sq
+    far = b + sq
+    use_near = near > EPSILON
+    dist = jnp.where(use_near, near, far)
+    valid = hit & (use_near | (far > EPSILON))
+    obj_pt = [ro[k] + dh[k] * dist for k in range(3)]
+    return dist, valid, obj_pt
+
+
+def _cube_hit(ro, dh):
+    """Unit-cube [-1,1]^3 slab hit (object space, Majercik winding form).
+    Returns (dist, valid, sgn list (face normal), obj_pt list)."""
+    inside = jnp.maximum(jnp.maximum(jnp.abs(ro[0]), jnp.abs(ro[1])),
+                         jnp.abs(ro[2])) < 1.0
+    winding = jnp.where(inside, -1.0, 1.0)
+    sgn = [-jnp.sign(dh[k]) for k in range(3)]
+    dcand = [(winding * sgn[k] - ro[k]) / dh[k] for k in range(3)]
+
+    def face_test(axis, a1, a2):
+        da = dcand[axis]
+        p1 = jnp.abs(ro[a1] + dh[a1] * da)
+        p2 = jnp.abs(ro[a2] + dh[a2] * da)
+        return (da >= 0.0) & (p1 < 1.0) & (p2 < 1.0)
+
+    tx = face_test(0, 1, 2)
+    ty = face_test(1, 2, 0)
+    tz = face_test(2, 0, 1)
+    sx = jnp.where(tx, sgn[0], 0.0)
+    sy = jnp.where(~tx & ty, sgn[1], 0.0)
+    sz = jnp.where(~tx & ~ty & tz, sgn[2], 0.0)
+    dist = jnp.where(sx != 0.0, dcand[0], jnp.where(sy != 0.0, dcand[1], dcand[2]))
+    valid = (sx != 0.0) | (sy != 0.0) | (sz != 0.0)
+    obj_pt = [ro[k] + dh[k] * dist for k in range(3)]
+    return dist, valid, [sx, sy, sz], obj_pt
+
+
+def _norm3(v):
+    return jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+
+
+def _apply_nt(p_ref, g, n):
+    """NT @ n (normal transform) via scalar FMAs; returns normalized list."""
+    out = []
+    for ax in range(3):
+        acc = p_ref[g, 15 + 3 * ax] * n[0]
+        for j in range(1, 3):
+            acc = acc + p_ref[g, 15 + 3 * ax + j] * n[j]
+        out.append(acc)
+    inv = 1.0 / _norm3(out)
+    return [o * inv for o in out]
+
+
+def _nearest_kernel(p_ref, dir4_ref, t_ref, obj_ref, kind_ref, n_ref, s3_ref,
+                    *, n_spheres: int, n_cubes: int):
+    """Walk all objects against one resident ray block, tracking the nearest
+    hit. Spheres come first, then cubes (matching the jnp path's merge order
+    so strict-< tie-breaking is identical)."""
+    dir4 = dir4_ref[:]  # (4, NB)
+    nb = dir4.shape[1]
+
+    def obj_step(g, is_sphere: bool, state):
+        best_t, best_obj, best_kind, best_n, best_s3 = state
+        d = _affine_rows(p_ref, g, dir4, with_b=False)
+        scale = _norm3(d)
+        dh = [dk / scale for dk in d]  # divisions, matching the jnp path's fp
+        ro = [p_ref[g, 12 + k] for k in range(3)]  # scalars; broadcast in use
+        if is_sphere:
+            dist, valid, obj_pt = _sphere_hit(ro, dh)
+            nrm = _apply_nt(p_ref, g, obj_pt)
+            s3 = obj_pt  # spherical uv computed outside (no atan2 in Mosaic)
+        else:
+            dist, valid, sgn, obj_pt = _cube_hit(ro, dh)
+            nrm = _apply_nt(p_ref, g, sgn)
+            on_x = sgn[0] != 0.0
+            on_y = sgn[1] != 0.0
+            u = jnp.where(on_x, obj_pt[1], obj_pt[0])
+            v = jnp.where(on_x | on_y, obj_pt[2], obj_pt[1])
+            s3 = [(u + 1.0) / 2.0, (v + 1.0) / 2.0, jnp.zeros((nb,), jnp.float32)]
+        t = jnp.where(valid, dist / scale, INF)
+        better = t < best_t
+        kind_val = jnp.float32(0.0 if is_sphere else 1.0)
+        return (
+            jnp.where(better, t, best_t),
+            jnp.where(better, p_ref[g, 24], best_obj),
+            jnp.where(better, kind_val, best_kind),
+            [jnp.where(better, nrm[k], best_n[k]) for k in range(3)],
+            [jnp.where(better, s3[k], best_s3[k]) for k in range(3)],
+        )
+
+    state = (
+        jnp.full((nb,), INF, jnp.float32),
+        jnp.zeros((nb,), jnp.float32),
+        jnp.zeros((nb,), jnp.float32),
+        [jnp.zeros((nb,), jnp.float32) for _ in range(3)],
+        [jnp.zeros((nb,), jnp.float32) for _ in range(3)],
+    )
+    # Static specialization: a scene with no spheres emits no sphere code.
+    if n_spheres:
+        state = jax.lax.fori_loop(
+            0, n_spheres, lambda g, s: obj_step(g, True, s), state)
+    if n_cubes:
+        state = jax.lax.fori_loop(
+            n_spheres, n_spheres + n_cubes, lambda g, s: obj_step(g, False, s), state)
+
+    best_t, best_obj, best_kind, best_n, best_s3 = state
+    t_ref[0, :] = best_t
+    obj_ref[0, :] = best_obj.astype(jnp.int32)
+    kind_ref[0, :] = best_kind
+    for k in range(3):
+        n_ref[k, :] = best_n[k]
+        s3_ref[k, :] = best_s3[k]
+
+
+def _finish_uv(kind, s3):
+    """Post-kernel spherical UV: Mosaic lacks atan2/arcsin, so the kernel
+    returns the winner's object-space hit point (spheres) or the final uv
+    (cubes) and the transcendentals run here on (N,) lanes only."""
+    u_s = 0.5 + jnp.arctan2(s3[2], s3[0]) / (2.0 * jnp.pi)
+    v_s = jnp.arcsin(jnp.clip(s3[1], -1.0, 1.0)) / jnp.pi + 0.5
+    is_sphere = kind == 0.0
+    u = jnp.where(is_sphere, u_s, s3[0])
+    v = jnp.where(is_sphere, v_s, s3[1])
+    return jnp.stack([u, v])
+
+
+@functools.partial(jax.jit, static_argnames=("n_spheres", "n_cubes", "interpret"))
+def analytic_nearest_shared(params, dir4, n_spheres: int, n_cubes: int,
+                            interpret: bool = False):
+    """Nearest sphere/cube hit for rays sharing the camera origin.
+
+    params: (G, PARAM_COLS) from pack_analytic_params (spheres first, then
+    cubes -- the same merge order as the jnp path); dir4: (4, N) camera-frame
+    ray 4-dirs. Returns (t (N,), normal (3, N) rest-frame, uv (2, N),
+    obj (N,) i32 global ids). Lanes with no hit carry t = INF, obj of the
+    last compare loser (consumers mask on t < INF).
+    """
+    n = dir4.shape[1]
+    n_pad = _round_up(n, NB)
+    dir4_p = jnp.pad(dir4, ((0, 0), (0, n_pad - n)), constant_values=1.0)
+
+    kernel = functools.partial(_nearest_kernel, n_spheres=n_spheres, n_cubes=n_cubes)
+    row = pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
+    vec3 = pl.BlockSpec((3, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
+    t, obj, kind, nrm, s3 = pl.pallas_call(
+        kernel,
+        grid=(n_pad // NB,),
+        in_specs=[
+            pl.BlockSpec((params.shape[0], PARAM_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(row, row, row, vec3, vec3),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(params, dir4_p)
+    uv = _finish_uv(kind[0, :n], s3[:, :n])
+    return t[0, :n], nrm[:, :n], uv, obj[0, :n]
+
+
+def _min_t_kernel(p_ref, o4_ref, dir4_ref, t_ref, *, n_spheres: int, n_cubes: int):
+    """Min hit parameter over all objects, per-ray origins (shadow rays)."""
+    o4 = o4_ref[:]  # (4, NB)
+    dir4 = dir4_ref[:]
+    nb = dir4.shape[1]
+
+    def obj_step(g, is_sphere: bool, best_t):
+        d = _affine_rows(p_ref, g, dir4, with_b=False)
+        ro = _affine_rows(p_ref, g, o4, with_b=True)
+        scale = _norm3(d)
+        dh = [dk / scale for dk in d]
+        if is_sphere:
+            dist, valid, _ = _sphere_hit(ro, dh)
+        else:
+            dist, valid, _, _ = _cube_hit(ro, dh)
+        t = jnp.where(valid, dist / scale, INF)
+        return jnp.minimum(best_t, t)
+
+    best_t = jnp.full((nb,), INF, jnp.float32)
+    if n_spheres:
+        best_t = jax.lax.fori_loop(
+            0, n_spheres, lambda g, s: obj_step(g, True, s), best_t)
+    if n_cubes:
+        best_t = jax.lax.fori_loop(
+            n_spheres, n_spheres + n_cubes, lambda g, s: obj_step(g, False, s), best_t)
+    t_ref[0, :] = best_t
+
+
+@functools.partial(jax.jit, static_argnames=("n_spheres", "n_cubes", "interpret"))
+def analytic_min_t_general(params, origins4, dir4, n_spheres: int, n_cubes: int,
+                           interpret: bool = False):
+    """Min hit parameter over spheres+cubes for per-ray-origin (shadow) rays.
+
+    params from pack_analytic_params_general (exclude the light by omitting
+    its row -- exclusion is static per light loop). origins4/dir4: (4, N).
+    Returns (N,) f32 min t (INF where nothing hit).
+    """
+    n = dir4.shape[1]
+    n_pad = _round_up(n, NB)
+    dir4_p = jnp.pad(dir4, ((0, 0), (0, n_pad - n)), constant_values=1.0)
+    o4_p = jnp.pad(origins4, ((0, 0), (0, n_pad - n)))
+
+    kernel = functools.partial(_min_t_kernel, n_spheres=n_spheres, n_cubes=n_cubes)
+    t = pl.pallas_call(
+        kernel,
+        grid=(n_pad // NB,),
+        in_specs=[
+            pl.BlockSpec((params.shape[0], PARAM_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        interpret=interpret,
+    )(params, o4_p, dir4_p)
+    return t[0, :n]

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from .models.scene import Scene, SceneMeta
 from .ops.camera import camera_ray_dirs
 from .ops.intersect import INF, cube_intersect, norm3, normalize3, sphere_intersect
-from .ops.mesh_intersect import mesh_intersect_shared, mesh_min_t_general
+from .ops.mesh_intersect import _resolve_pallas, mesh_intersect_shared, mesh_min_t_general
 from .ops.relmath import lorentz, matmul4, transform4
 from .ops.texture_sample import bilinear_sample_footprint, bilinear_sample_packed
 from .ops.tonemap import tonemap
@@ -145,12 +145,28 @@ def intersect_scene(scene: Scene, meta: SceneMeta, L, stat_cam, dir4):
         jnp.zeros((n_rays,), jnp.int32),
     )
 
-    for fn, ids_all in ((sphere_intersect, meta.sphere_ids), (cube_intersect, meta.cube_ids)):
-        for ids in _chunks(ids_all, _GROUP_CHUNK):
-            idx = jnp.asarray(ids, jnp.int32)
-            d4 = jnp.einsum("gij,jn->gin", L[idx], dir4)
-            cand = _group_nearest(fn, ids, objects.inv_m[idx], stat_cam[idx][:, 1:4], d4[:, 1:4])
-            best = _merge_best(best, cand)
+    use_pallas, interp = _resolve_pallas(None)
+    if use_pallas and (meta.sphere_ids or meta.cube_ids):
+        # Fused Pallas path: every object's frame-composed constants sit in
+        # SMEM and each ray block is walked against ALL objects in VMEM --
+        # one HBM pass, vs ceil(O/8) chunked passes of (8, N) transients
+        # (cubes.txt: 14.6ms -> the kernel's single pass) . Same
+        # spheres-then-cubes order, so strict-< tie-breaking matches.
+        from .ops.pallas.analytic_kernels import (
+            analytic_nearest_shared, pack_analytic_params)
+
+        ids = tuple(meta.sphere_ids) + tuple(meta.cube_ids)
+        params = pack_analytic_params(L, objects.inv_m, stat_cam, ids)
+        cand = analytic_nearest_shared(
+            params, dir4, len(meta.sphere_ids), len(meta.cube_ids), interpret=interp)
+        best = _merge_best(best, cand)
+    else:
+        for fn, ids_all in ((sphere_intersect, meta.sphere_ids), (cube_intersect, meta.cube_ids)):
+            for ids in _chunks(ids_all, _GROUP_CHUNK):
+                idx = jnp.asarray(ids, jnp.int32)
+                d4 = jnp.einsum("gij,jn->gin", L[idx], dir4)
+                cand = _group_nearest(fn, ids, objects.inv_m[idx], stat_cam[idx][:, 1:4], d4[:, 1:4])
+                best = _merge_best(best, cand)
 
     for k, i in enumerate(meta.mesh_ids):
         d4 = L[i] @ dir4  # (4, N)
@@ -179,14 +195,27 @@ def scene_min_t(scene: Scene, meta: SceneMeta, L, origins4, dir3, interval: int,
     )
     best = jnp.full((n_rays,), INF)
 
-    for fn, ids_all in ((sphere_intersect, meta.sphere_ids), (cube_intersect, meta.cube_ids)):
-        ids_all = tuple(i for i in ids_all if i != exclude_id)
-        for ids in _chunks(ids_all, _GROUP_CHUNK):
-            idx = jnp.asarray(ids, jnp.int32)
-            o4 = jnp.einsum("gij,jn->gin", L[idx], origins4)
-            d4 = jnp.einsum("gij,jn->gin", L[idx], dir4)
-            t, _, _, _ = jax.vmap(fn)(objects.inv_m[idx], o4[:, 1:4], d4[:, 1:4])
-            best = jnp.minimum(best, jnp.min(t, axis=0))
+    sph = tuple(i for i in meta.sphere_ids if i != exclude_id)
+    cub = tuple(i for i in meta.cube_ids if i != exclude_id)
+    use_pallas, interp = _resolve_pallas(None)
+    if use_pallas and (sph or cub):
+        # Fused analytic occlusion: see intersect_scene. The light itself is
+        # excluded statically by omitting its params row.
+        from .ops.pallas.analytic_kernels import (
+            analytic_min_t_general, pack_analytic_params_general)
+
+        params = pack_analytic_params_general(L, objects.inv_m, sph + cub)
+        t = analytic_min_t_general(params, origins4, dir4, len(sph), len(cub),
+                                   interpret=interp)
+        best = jnp.minimum(best, t)
+    else:
+        for fn, ids_all in ((sphere_intersect, sph), (cube_intersect, cub)):
+            for ids in _chunks(ids_all, _GROUP_CHUNK):
+                idx = jnp.asarray(ids, jnp.int32)
+                o4 = jnp.einsum("gij,jn->gin", L[idx], origins4)
+                d4 = jnp.einsum("gij,jn->gin", L[idx], dir4)
+                t, _, _, _ = jax.vmap(fn)(objects.inv_m[idx], o4[:, 1:4], d4[:, 1:4])
+                best = jnp.minimum(best, jnp.min(t, axis=0))
 
     for k, i in enumerate(meta.mesh_ids):
         if i == exclude_id:
