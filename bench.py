@@ -105,6 +105,18 @@ def main():
     mrays = rays / (ms * 1e3)
     log(f"ours: {ms:.2f} ms/frame, {mrays:.2f} Mrays/s ({shadow_rays} shadow rays)")
 
+    # Full-resolution oracle parity (README's >99.8%-within-1e-3 claim),
+    # enforced on the real backend every round.
+    from relativitypathtracer_tpu.utils.parity import fullres_parity
+
+    parity = {}
+    for scene_name in ("bunny", "shadows"):
+        res = fullres_parity(scene_name, W, H)
+        log(f"full-res parity {scene_name}: frac>1e-3 = {res['frac_bad']:.5f} "
+            f"(ok={res['ok']})")
+        parity[scene_name] = res["frac_bad"]
+        parity[f"{scene_name}_ok"] = res["ok"]
+
     print(json.dumps({
         "metric": "total Mrays/s, bunny.txt 1024x768 (primary+shadow), p50",
         "value": round(mrays, 3),
@@ -113,6 +125,7 @@ def main():
         "frame_ms_p50": round(ms, 3),
         "baseline_frame_ms_p50": base["p50_ms"],
         "baseline_mrays": round(base_mrays, 3),
+        "fullres_parity_frac_gt_1e3": parity,
         "platform": jax.default_backend(),
     }))
 

@@ -16,10 +16,49 @@ import struct
 
 import numpy as np
 
-from ..render import FrameState, object_frames
+from ..render import FrameState
 
 MAGIC = b"RPTB"
 MAGIC_VERSION = 3
+
+
+def _lorentz_np(v: np.ndarray) -> np.ndarray:
+    """Host float32 boost matrices; numpy mirror of ops.relmath.lorentz.
+
+    The blob's matrices MUST be computed on host: an eager jnp call in a
+    TPU-default process runs the 4x4 matmuls on the MXU at default (bf16)
+    precision, feeding the oracle ~1e-3-degraded Lorentz matrices -- which
+    shows up as percent-level false parity failures in minified-texture
+    regions (root-caused on rulers.txt/cubes.txt at 1024x768).
+    """
+    v = np.asarray(v, np.float32)
+    vsqr = np.sum(v * v, axis=-1)
+    gamma = (1.0 / np.sqrt(1.0 - vsqr)).astype(np.float32)
+    safe_vsqr = np.where(vsqr == 0.0, np.float32(1.0), vsqr)
+    g1 = ((gamma - 1.0) / safe_vsqr).astype(np.float32)
+    vg = (-v * gamma[..., None]).astype(np.float32)
+    top = np.concatenate([gamma[..., None], vg], axis=-1)
+    outer = v[..., :, None] * v[..., None, :]
+    spatial = (np.eye(3, dtype=np.float32) + g1[..., None, None] * outer).astype(np.float32)
+    rows = np.concatenate([vg[..., :, None], spatial], axis=-1)
+    M = np.concatenate([top[..., None, :], rows], axis=-2)
+    eye = np.broadcast_to(np.eye(4, dtype=np.float32), M.shape)
+    return np.where(vsqr[..., None, None] == 0.0, eye, M).astype(np.float32)
+
+
+def _object_frames_np(objects, state: FrameState):
+    """Host mirror of render.object_frames (fp32, exact CPU arithmetic)."""
+    vel = np.asarray(objects.velocity, np.float32)
+    cam_v = np.asarray(state.cam_velocity, np.float32)
+    cam_pos = np.asarray(state.cam_pos, np.float32)
+    cam_l = _lorentz_np(cam_v)
+    cam_inv_l = _lorentz_np(-cam_v)
+    obj_l = _lorentz_np(vel)
+    obj_inv_l = _lorentz_np(-vel)
+    L = obj_l @ cam_inv_l[None]
+    inv_L = cam_l[None] @ obj_inv_l
+    stat_cam = np.einsum("oij,j->oi", L, cam_pos).astype(np.float32)
+    return L.astype(np.float32), inv_L.astype(np.float32), stat_cam
 
 
 def scene_blob(scene, meta, state: FrameState, width: int, height: int,
@@ -27,10 +66,7 @@ def scene_blob(scene, meta, state: FrameState, width: int, height: int,
     """Serialize scene + frame matrices for one deterministic frame."""
     if interval is None:
         interval = meta.default_interval
-    L, inv_L, stat_cam = object_frames(scene.objects, state)
-    L = np.asarray(L, np.float32)
-    inv_L = np.asarray(inv_L, np.float32)
-    stat_cam = np.asarray(stat_cam, np.float32)
+    L, inv_L, stat_cam = _object_frames_np(scene.objects, state)
     o = scene.objects
 
     out = bytearray()
