@@ -77,6 +77,18 @@ class MeshStatic(NamedTuple):
     gen_cols: jnp.ndarray  # (4*T_pad, 10)
 
 
+class MeshBatchStatic(NamedTuple):
+    """Frame-invariant inputs for the BATCHED multi-mesh kernels
+    (ops.pallas.mesh_batch): every mesh object's Morton-ordered constants
+    concatenated into one factor-grouped pool. Built only for scenes with
+    >1 mesh object; per-object chunk counts (static) live in
+    SceneMeta.mesh_chunk_counts."""
+
+    attrs: jnp.ndarray  # (Tsum_pad, 15)
+    gen_cols: jnp.ndarray  # (4*Tsum_pad, 10) globally factor-grouped
+    spheres: jnp.ndarray  # (C, 4) object-major concat
+
+
 class Scene(NamedTuple):
     objects: ObjectsSoA
     mesh: MeshArrays
@@ -87,6 +99,7 @@ class Scene(NamedTuple):
     mesh_static: tuple  # MeshStatic per mesh object (meta.mesh_ids order)
     white_point: jnp.ndarray  # (3,) f32
     ambient: jnp.ndarray  # () f32
+    mesh_batch: MeshBatchStatic | None = None  # multi-mesh fused pool
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +121,7 @@ class SceneMeta:
     max_octree_depth: int
     use_footprint_tex: bool = True  # small textures: 1-gather footprint atlas
     any_flash: bool = False  # scene contains proper-time flash objects
+    mesh_chunk_counts: tuple = ()  # chunks per mesh object in the batch pool
 
 
 def _morton_perm(verts: np.ndarray, tri_v: np.ndarray, tri_ids: np.ndarray) -> tuple:
@@ -350,12 +364,35 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
             gen_cols=general_ray_constants(mesh, rng_pair, perm_arr)[0],
         ))
 
+    # Fused multi-mesh pool (batched kernels): concat per-object statics,
+    # re-grouping gen_cols by factor GLOBALLY so every kernel slice offset is
+    # uniform in the concatenated Tsum_pad.
+    mesh_batch = None
+    chunk_counts = ()
+    if len(mesh_static) > 1:
+        from ..ops.pallas.mesh_kernels import TC
+
+        tpads = [ms.attrs.shape[0] for ms in mesh_static]
+        det, uu, vv, tt = [], [], [], []
+        for ms, tp in zip(mesh_static, tpads):
+            det.append(ms.gen_cols[0:tp])
+            uu.append(ms.gen_cols[tp:2 * tp])
+            vv.append(ms.gen_cols[2 * tp:3 * tp])
+            tt.append(ms.gen_cols[3 * tp:4 * tp])
+        mesh_batch = MeshBatchStatic(
+            attrs=jnp.concatenate([ms.attrs for ms in mesh_static], axis=0),
+            gen_cols=jnp.concatenate(det + uu + vv + tt, axis=0),
+            spheres=jnp.concatenate([ms.spheres for ms in mesh_static], axis=0),
+        )
+        chunk_counts = tuple(tp // TC for tp in tpads)
+
     scene = Scene(
         objects=objects, mesh=mesh, textures=textures,
         textures_packed=jnp.asarray(packed),
         tex_quads=jnp.asarray(quads), tex_fp=_i32(tex_fp),
         mesh_static=tuple(mesh_static),
         white_point=_f32(host.white_point), ambient=jnp.float32(host.ambient),
+        mesh_batch=mesh_batch,
     )
 
     meta = SceneMeta(
@@ -376,5 +413,6 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
         # (real accesses are screen-coherent, so small 32-byte rows win).
         use_footprint_tex=bool(quads.size * 4 <= 48 * 1024 * 1024),
         any_flash=bool((flash_period > 0).any()),
+        mesh_chunk_counts=chunk_counts,
     )
     return scene, meta

@@ -305,6 +305,111 @@ def finalize_best_hit(mesh, lo, m4, inv_m, o3, d3, ro, dh, bt, bu, bv, btri, per
     return t, normal, uv, valid
 
 
+def mesh_intersect_shared_batched(mesh, meta, batch, L, inv_ms, m4s,
+                                  stat_cams, dir4, interpret=False):
+    """All mesh objects in ONE kernel (shared-origin rays).
+
+    meta: SceneMeta; batch: models.scene.MeshBatchStatic; L/inv_ms/m4s:
+    (O_total, 4, 4) frame/model matrices (indexed by meta.mesh_ids);
+    stat_cams: (O_total, 4); dir4: (4, N) camera-frame 4-dirs.
+    Returns (t, normal (3, N) rest-frame of the winner, uv, obj global id,
+    valid) directly mergeable with the analytic candidates.
+    """
+    from .pallas.mesh_batch import ROWS_SH, batched_nearest_shared
+
+    n = dir4.shape[1]
+    consts_det, consts_u, consts_v, consts_ct = [], [], [], []
+    ray_rows = []
+    boxes = []
+    c0 = 0
+    for k, i in enumerate(meta.mesh_ids):
+        d4 = L[i] @ dir4
+        perm = (jnp.asarray(meta.mesh_perms[k], jnp.int32)
+                if meta.mesh_perms[k] else None)
+        ro = apply_affine3(inv_ms[i], stat_cams[i, 1:4])  # (3,)
+        d = apply_linear3(inv_ms[i], d4[1:4])
+        dh = d / norm3(d)
+        # object-space dist -> shared 4D parameter: t = dist*|M_R dh|/|d3|
+        s = norm3(apply_linear3(m4s[i], dh)) / norm3(d4[1:4])
+        cst, _, _, T_pad_k = shared_origin_constants(mesh, meta.mesh_tri_ranges[k],
+                                                     ro, perm)
+        consts_det.append(cst[0:T_pad_k])
+        consts_u.append(cst[T_pad_k:2 * T_pad_k])
+        consts_v.append(cst[2 * T_pad_k:3 * T_pad_k])
+        consts_ct.append(cst[3 * T_pad_k:4 * T_pad_k])
+        ro_b = jnp.broadcast_to(ro[:, None], (3, n))
+        ray_rows.append(jnp.concatenate(
+            [dh, s[None, :], ro_b, jnp.zeros((ROWS_SH - 7, n))], axis=0))
+        nck = meta.mesh_chunk_counts[k]
+        sph_k = batch.spheres[c0:c0 + nck]
+        c0 += nck
+        lo = jnp.min(sph_k[:, :3] - sph_k[:, 3:4], axis=0)
+        hi = jnp.max(sph_k[:, :3] + sph_k[:, 3:4], axis=0)
+        boxes.append(jnp.concatenate([lo, hi, ro]))
+    consts = jnp.concatenate(consts_det + consts_u + consts_v + consts_ct, axis=0)
+    rays = jnp.concatenate(ray_rows, axis=0)
+    boxes = jnp.stack(boxes)
+
+    t, bu, bv, btri, bobj, battr = batched_nearest_shared(
+        consts, batch.attrs, batch.spheres, boxes, rays,
+        meta.mesh_chunk_counts, interpret=interpret)
+    valid = btri >= 0
+    interp = battr[0:5] + bu * battr[5:10] + bv * battr[10:15]
+    # Winner-frame normal transform + global object id via one-hot selects
+    # over the (few) mesh objects -- no gathers.
+    onehot = (bobj[None, :] ==
+              jnp.arange(len(meta.mesh_ids), dtype=jnp.int32)[:, None])
+    onehot_f = onehot.astype(jnp.float32)
+    inv_sel = jnp.stack([inv_ms[i] for i in meta.mesh_ids])  # (O, 4, 4)
+    nt = jnp.swapaxes(inv_sel[:, :3, :3], 1, 2).reshape(len(meta.mesh_ids), 9)
+    nt_pix = jnp.matmul(nt.T, onehot_f).reshape(3, 3, -1)  # (3, 3, N)
+    normal = normalize3(jnp.einsum("ijn,jn->in", nt_pix, interp[0:3]))
+    ids_col = jnp.asarray(meta.mesh_ids, jnp.int32)[:, None]
+    obj = jnp.sum(jnp.where(onehot, ids_col, 0), axis=0)
+    t = jnp.where(valid, t, INF)
+    return t, normal, interp[3:5], obj, valid
+
+
+def mesh_min_t_general_batched(mesh, meta, batch, L, inv_ms, m4s,
+                               origins4, dir4, exclude_id, tmax,
+                               interpret=False):
+    """All mesh objects in ONE kernel (per-ray-origin shadow rays).
+
+    tmax: (N,) SHARED-parameter search bound (0 = masked lane). The
+    excluded object (the light) is dropped by zeroing its chunk range from
+    the live lists via a masked spheres copy -- exclusion by object id is
+    static per light loop, so the caller passes exclude_id and this builds
+    a per-call pool view without touching the static arrays.
+    Returns (N,) f32 min(t_shared, tmax)-like (INF where nothing hit).
+    """
+    from .pallas.mesh_batch import ROWS_GEN, batched_min_t_general
+
+    n = dir4.shape[1]
+    ray_rows = []
+    for k, i in enumerate(meta.mesh_ids):
+        o4 = L[i] @ origins4
+        d4 = L[i] @ dir4
+        ro = apply_affine3(inv_ms[i], o4[1:4])
+        d = apply_linear3(inv_ms[i], d4[1:4])
+        dh = d / norm3(d)
+        s = norm3(apply_linear3(m4s[i], dh)) / norm3(d4[1:4])
+        mom = jnp.stack([
+            ro[1] * dh[2] - ro[2] * dh[1],
+            ro[2] * dh[0] - ro[0] * dh[2],
+            ro[0] * dh[1] - ro[1] * dh[0],
+        ])
+        r10 = jnp.concatenate([dh, mom, ro, jnp.ones((1, n))], axis=0)
+        ray_rows.append(jnp.concatenate(
+            [r10, s[None, :], jnp.zeros((ROWS_GEN - 11, n))], axis=0))
+    rays = jnp.concatenate(ray_rows, axis=0)
+    enabled = tuple(i != exclude_id for i in meta.mesh_ids)
+    valid = tmax > 0.0
+    bt = batched_min_t_general(batch.gen_cols, batch.spheres, rays, tmax,
+                               meta.mesh_chunk_counts, enabled=enabled,
+                               valid=valid, interpret=interpret)
+    return bt
+
+
 def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
                        use_pallas=None, perm=None, tmax=None, static=None):
     """Minimum hit parameter t for rays with per-ray origins (shadow rays).

@@ -79,28 +79,24 @@ def _cones_of(dh_blocks, o_blocks):
     return oc, axis, cos_a, o_rad
 
 
-def live_chunk_lists(spheres, dh_p, o_p, valid=None):
-    """Dense (block, chunk) culling + compaction, all outside the kernel.
+def _mask_invalid_lanes(d, o, valid):
+    """Replace masked lanes' (garbage) rays with the block mean so they
+    cannot blow up the block bounding cones. d/o: (3, n_blocks, NB)."""
+    v = valid.reshape(1, d.shape[1], NB)
+    nv = jnp.maximum(jnp.sum(v, axis=2, keepdims=True), 1)
+    o_mean = jnp.sum(jnp.where(v, o, 0.0), axis=2, keepdims=True) / nv
+    d_mean = jnp.sum(jnp.where(v, d, 0.0), axis=2, keepdims=True) / nv
+    # non-unit stand-in: only shapes the cone
+    return jnp.where(v, d, d_mean), jnp.where(v, o, o_mean)
 
-    spheres: (n_chunks, 4); dh_p/o_p: (3, n_pad) unit dirs / origins.
-    valid: optional (n_pad,) bool -- lanes whose rays are masked out (their
-    origins/dirs may be garbage, e.g. miss-lane shadow rays) are excluded
-    from the block bounding cones so they cannot blow up the cone radius and
-    defeat culling for the block's real lanes.
-    Returns (order (n_blocks, n_chunks) i32 front-to-back live chunk ids,
-             minds (n_blocks, n_chunks) f32 sorted chunk min-distances,
-             counts (n_blocks, 1) i32 live counts).
+
+def _cone_cull(spheres, d, o):
+    """Cone-vs-sphere culling for one ray-block set against one chunk pool.
+
+    spheres: (n_chunks, 4); d/o: (3, n_blocks, NB) dirs / origins.
+    Returns (mind (n_blocks, n_chunks) conservative min distances,
+             overlap (n_blocks, n_chunks) bool).
     """
-    n_blocks = dh_p.shape[1] // NB
-    d = dh_p.reshape(3, n_blocks, NB)
-    o = o_p.reshape(3, n_blocks, NB)
-    if valid is not None:
-        v = valid.reshape(1, n_blocks, NB)
-        nv = jnp.maximum(jnp.sum(v, axis=2, keepdims=True), 1)
-        o_mean = jnp.sum(jnp.where(v, o, 0.0), axis=2, keepdims=True) / nv
-        d_mean = jnp.sum(jnp.where(v, d, 0.0), axis=2, keepdims=True) / nv
-        o = jnp.where(v, o, o_mean)
-        d = jnp.where(v, d, d_mean)  # non-unit stand-in: only shapes the cone
     apex, axis, cos_a, o_rad = _cones_of(d, o)
 
     c = spheres[:, :3]  # (n_chunks, 3)
@@ -120,10 +116,19 @@ def live_chunk_lists(spheres, dh_p, o_p, valid=None):
     overlap = (dlen <= r) | (cos_b <= -cos_a[:, None]) | (
         cos_d >= cos_a[:, None] * cos_b - sin_a[:, None] * sin_b
     )
+    return mind, overlap
 
+
+def bucket_order(mind, overlap):
+    """Approximate front-to-back compaction of live chunks per block.
+
+    mind/overlap: (n_blocks, n_chunks). Returns rank-3 (order, key, counts)
+    as consumed by the kernels' SMEM windows; `key` holds each chunk's
+    bucket FLOOR (see below), keyed by CHUNK ID (look up through `order`).
+    """
+    n_chunks = mind.shape[1]
     # Bucketed counting sort instead of argsort (XLA's sort costs ~1.6ms per
     # call here; early termination only needs APPROXIMATE front-to-back).
-    n_chunks = spheres.shape[0]
     NBKT = 16
     lo_k = jnp.min(mind, axis=1, keepdims=True)
     hi_k = jnp.max(jnp.where(overlap, mind, -INF), axis=1, keepdims=True)
@@ -156,6 +161,27 @@ def live_chunk_lists(spheres, dh_p, o_p, valid=None):
     counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
     # rank-3 so per-block rows can be SMEM-windowed by the grid
     return order[:, None, :], key[:, None, :], counts[:, None, None]
+
+
+def live_chunk_lists(spheres, dh_p, o_p, valid=None):
+    """Dense (block, chunk) culling + compaction, all outside the kernel.
+
+    spheres: (n_chunks, 4); dh_p/o_p: (3, n_pad) unit dirs / origins.
+    valid: optional (n_pad,) bool -- lanes whose rays are masked out (their
+    origins/dirs may be garbage, e.g. miss-lane shadow rays) are excluded
+    from the block bounding cones so they cannot blow up the cone radius and
+    defeat culling for the block's real lanes.
+    Returns (order (n_blocks, n_chunks) i32 front-to-back live chunk ids,
+             minds (n_blocks, n_chunks) f32 sorted chunk min-distances,
+             counts (n_blocks, 1) i32 live counts).
+    """
+    n_blocks = dh_p.shape[1] // NB
+    d = dh_p.reshape(3, n_blocks, NB)
+    o = o_p.reshape(3, n_blocks, NB)
+    if valid is not None:
+        d, o = _mask_invalid_lanes(d, o, valid)
+    mind, overlap = _cone_cull(spheres, d, o)
+    return bucket_order(mind, overlap)
 
 
 def _mt_mask(det, u, v, dist, tri_ok):

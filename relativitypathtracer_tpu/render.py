@@ -168,15 +168,25 @@ def intersect_scene(scene: Scene, meta: SceneMeta, L, stat_cam, dir4):
                 cand = _group_nearest(fn, ids, objects.inv_m[idx], stat_cam[idx][:, 1:4], d4[:, 1:4])
                 best = _merge_best(best, cand)
 
-    for k, i in enumerate(meta.mesh_ids):
-        d4 = L[i] @ dir4  # (4, N)
-        perm = jnp.asarray(meta.mesh_perms[k], jnp.int32) if meta.mesh_perms[k] else None
-        t, n, uv, valid = mesh_intersect_shared(
-            scene.mesh, meta.mesh_tri_ranges[k], objects.m[i], objects.inv_m[i],
-            stat_cam[i, 1:4], d4[1:4], perm=perm, static=scene.mesh_static[k],
-        )
-        cand = (t, n, uv, jnp.full((n_rays,), i, jnp.int32))
+    if use_pallas and len(meta.mesh_ids) > 1 and scene.mesh_batch is not None:
+        # N mesh instances, ONE kernel: fused chunk pool with per-chunk
+        # object ids and in-kernel shared-parameter reduction.
+        from .ops.mesh_intersect import mesh_intersect_shared_batched
+
+        cand = mesh_intersect_shared_batched(
+            scene.mesh, meta, scene.mesh_batch, L, objects.inv_m, objects.m,
+            stat_cam, dir4, interpret=interp)[:4]
         best = _merge_best(best, cand)
+    else:
+        for k, i in enumerate(meta.mesh_ids):
+            d4 = L[i] @ dir4  # (4, N)
+            perm = jnp.asarray(meta.mesh_perms[k], jnp.int32) if meta.mesh_perms[k] else None
+            t, n, uv, valid = mesh_intersect_shared(
+                scene.mesh, meta.mesh_tri_ranges[k], objects.m[i], objects.inv_m[i],
+                stat_cam[i, 1:4], d4[1:4], perm=perm, static=scene.mesh_static[k],
+            )
+            cand = (t, n, uv, jnp.full((n_rays,), i, jnp.int32))
+            best = _merge_best(best, cand)
 
     t, normal, uv, obj = best
     return t, normal, uv, obj, t < INF
@@ -217,17 +227,26 @@ def scene_min_t(scene: Scene, meta: SceneMeta, L, origins4, dir3, interval: int,
                 t, _, _, _ = jax.vmap(fn)(objects.inv_m[idx], o4[:, 1:4], d4[:, 1:4])
                 best = jnp.minimum(best, jnp.min(t, axis=0))
 
-    for k, i in enumerate(meta.mesh_ids):
-        if i == exclude_id:
-            continue
-        o4 = L[i] @ origins4
-        d4 = L[i] @ dir4
-        perm = jnp.asarray(meta.mesh_perms[k], jnp.int32) if meta.mesh_perms[k] else None
-        t = mesh_min_t_general(
-            scene.mesh, meta.mesh_tri_ranges[k], objects.m[i], objects.inv_m[i],
-            o4[1:4], d4[1:4], perm=perm, tmax=tmax, static=scene.mesh_static[k],
-        )
+    if (use_pallas and len(meta.mesh_ids) > 1 and scene.mesh_batch is not None
+            and tmax is not None):
+        from .ops.mesh_intersect import mesh_min_t_general_batched
+
+        t = mesh_min_t_general_batched(
+            scene.mesh, meta, scene.mesh_batch, L, objects.inv_m, objects.m,
+            origins4, dir4, exclude_id, tmax, interpret=interp)
         best = jnp.minimum(best, t)
+    else:
+        for k, i in enumerate(meta.mesh_ids):
+            if i == exclude_id:
+                continue
+            o4 = L[i] @ origins4
+            d4 = L[i] @ dir4
+            perm = jnp.asarray(meta.mesh_perms[k], jnp.int32) if meta.mesh_perms[k] else None
+            t = mesh_min_t_general(
+                scene.mesh, meta.mesh_tri_ranges[k], objects.m[i], objects.inv_m[i],
+                o4[1:4], d4[1:4], perm=perm, tmax=tmax, static=scene.mesh_static[k],
+            )
+            best = jnp.minimum(best, t)
     return best
 
 

@@ -113,3 +113,60 @@ def test_interpret_general_kernel_tmax_semantics():
     inside = t_true < tmax
     assert np.allclose(t_k[inside], t_true[inside], rtol=1e-5, atol=1e-6)
     assert np.all(t_k[~inside] >= tmax[~inside] * (1 - 1e-6))
+
+
+MULTI_SCENE = """MModels/triangle.obj
+MModels/pear.obj
+Om0
+ p-2,0,6,0,0,1,0,2,2,2
+ c0.9,0.2,0.2
+Om1
+ p2,0,6,0,0,1,0,1,1,1
+ c0.2,0.9,0.2
+Os
+ p0,4,4,0,0,0,0,0.2,0.2,0.2
+ c1,1,1
+ l1
+A0.3
+R
+"""
+
+
+def test_interpret_batched_multimesh_matches_jnp(reference_root):
+    """The batched multi-mesh kernels (one fused chunk pool + per-chunk
+    object ids, ops/pallas/mesh_batch.py) against the unrolled jnp path on a
+    two-mesh scene with a point light: exercises BOTH batched kernels
+    (primary nearest-hit with per-object rest frames + shadow min-t with the
+    light excluded via the static `enabled` tuple)."""
+    from relativitypathtracer_tpu import parse_scene
+
+    host = parse_scene(MULTI_SCENE, str(reference_root))
+    scene, meta = build_scene(host)
+    assert scene.mesh_batch is not None and len(meta.mesh_chunk_counts) == 2
+    ref = _render(scene, meta, False)
+    got = _render(scene, meta, "interpret")
+    diff = np.abs(ref - got)
+    frac_bad = float(np.mean(diff.max(-1) > 1e-3))
+    assert diff.mean() < 1e-4, f"mean diff {diff.mean()}"
+    assert frac_bad <= 0.002, f"{frac_bad * 100:.2f}% pixels differ > 1e-3"
+
+
+def test_interpret_batched_many_instances(tmp_path):
+    """8 disjoint mesh instances -> ONE batched kernel (the VERDICT many-mesh
+    requirement): per-pixel equality with the unrolled jnp path."""
+    from relativitypathtracer_tpu import build_scene, parse_scene
+
+    (tmp_path / "tri.obj").write_text(
+        "v -1 -1 0\nv 1 -1 0\nv 0 1 0\nf 1 2 3\n")
+    lines = ["Mtri.obj"]
+    for k in range(8):
+        lines += [f"Om0\n p{-7 + 2 * k},0,8,0,0,1,0,1,1,1\n c0.2,{0.1 * (k + 1):.1f},0.5"]
+    lines += ["A1", "R", ""]
+    host = parse_scene("\n".join(lines), str(tmp_path))
+    scene, meta = build_scene(host)
+    assert len(meta.mesh_ids) == 8 and scene.mesh_batch is not None
+    ref = _render(scene, meta, False)
+    got = _render(scene, meta, "interpret")
+    diff = np.abs(ref - got)
+    assert diff.mean() < 1e-4
+    assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.002
