@@ -315,7 +315,31 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     color = color + jnp.where(is_light[None, :], hit_color, 0.0)
 
     shadow_rays = jnp.zeros((), jnp.int32)
-    if interval != 0 and meta.light_ids:
+    use_chain_kernel, chain_interp = _resolve_pallas(None)
+    if interval != 0 and meta.light_ids and use_chain_kernel:
+        # Fused Pallas shadow-setup: the whole hit-reconstruction +
+        # frame-hopping light-direction chain (otherwise ~10 HBM-bound XLA
+        # passes per light) runs on-chip per ray block, with the hit
+        # object's matrices selected by an in-kernel one-hot MXU product.
+        from .ops.pallas.shadow_chain import (
+            pack_chain_mats, pack_light_row, shadow_chain)
+
+        mats = pack_chain_mats(L, inv_L, stat_cam)
+        for i in meta.light_ids:
+            light_row = pack_light_row(L[i], inv_L[i], objects.m[i][:3, 3])
+            hit_pos, ld3, ndotl, tmax, llen = shadow_chain(
+                mats, light_row, dir4, t, normal, obj, interval,
+                interpret=chain_interp)
+            relevant = did_hit & (obj != i) & (ndotl > 0)
+            occ_t = scene_min_t(scene, meta, L, hit_pos, ld3, interval, i,
+                                tmax=jnp.where(relevant, tmax, 0.0))
+            lit = occ_t >= tmax
+            falloff = 1.0 / (1.0 + 0.1 * llen + 0.01 * (llen * llen))
+            contrib = (ndotl * falloff)[None, :] * hit_color * objects.color[i][:, None]
+            mask = relevant & objects.light[i] & lit
+            color = color + jnp.where(mask[None, :], contrib, 0.0)
+            shadow_rays = shadow_rays + jnp.sum(relevant.astype(jnp.int32))
+    elif interval != 0 and meta.light_ids:
         # Hit event reconstructed in the camera frame, normal-biased
         # (opencl_kernel.cl:575-580).
         inv_L_hit = gather_mats(inv_L, obj_onehot_f)
