@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mesh_kernels import (
     INF, NB, TC, N_ATTR, _cone_cull, _mask_invalid_lanes, _mt_mask,
-    _round_up, bucket_order,
+    _round_up, bucket_order, chunk_interleave,
 )
 
 ROWS_SH = 8   # ray rows per object, shared kernel: [dh(3), s(1), ro(3), pad]
@@ -132,18 +132,15 @@ def _shared_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
         dh = blk[0:3]
         s = blk[3]
         base = k * TC
-        cd = consts_ref[pl.ds(base, TC), :]
-        cu = consts_ref[pl.ds(Tsum_pad + base, TC), :]
-        cv = consts_ref[pl.ds(2 * Tsum_pad + base, TC), :]
+        # Interleaved det/u/v rows: one (3*Tc, 3) @ (3, NB) MXU pass.
+        cblk = consts_ref[pl.ds(3 * base, 3 * TC), :]
         ct = consts_ref[pl.ds(3 * Tsum_pad + base, TC), 0]
 
-        def dot3(m):
-            return jax.lax.dot_general(m, dh, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-
-        det = dot3(cd)
-        u_num = dot3(cu)
-        v_num = dot3(cv)
+        prods = jax.lax.dot_general(cblk, dh, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        det = prods[:TC]
+        u_num = prods[TC:2 * TC]
+        v_num = prods[2 * TC:]
         inv_det = 1.0 / det
         u = u_num * inv_det
         v = v_num * inv_det
@@ -208,6 +205,9 @@ def batched_nearest_shared(consts, attrs, spheres, boxes, rays,
     n = rays.shape[1]
     n_pad = _round_up(n, NB)
     pad = n_pad - n
+    consts = jnp.concatenate(
+        [chunk_interleave(consts[:3 * Tsum_pad], Tsum_pad, 3, TC),
+         consts[3 * Tsum_pad:]], axis=0)
     rays_p = jnp.pad(rays, ((0, 0), (0, pad)), constant_values=1.0)
     d_os = jnp.stack([rays_p[ROWS_SH * g:ROWS_SH * g + 3] for g in range(O)])
     o_os = jnp.stack([rays_p[ROWS_SH * g + 4:ROWS_SH * g + 7] for g in range(O)])
@@ -249,12 +249,31 @@ def batched_nearest_shared(consts, attrs, spheres, boxes, rays,
             battr[:, :n])
 
 
-def _general_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref,
+def _general_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
                           cols_ref, rays_ref, tmax_ref, t_ref,
-                          *, Tsum_pad: int):
+                          *, O: int, Tsum_pad: int):
     nb = NB
     n_live = count_ref[0, 0, 0]
     tmax = tmax_ref[0, :]
+
+    # Per-lane walk bound: min(tmax, max over objects of that object's
+    # chunk-union-box exit in SHARED units) -- see _general_kernel. Disabled
+    # objects carry an empty box (lo > hi) and contribute nothing.
+    bound_vec = jnp.zeros((nb,), jnp.float32)
+    for g in range(O):  # static unroll
+        blk = rays_ref[ROWS_GEN * g:ROWS_GEN * (g + 1), :]
+        far = jnp.full((nb,), INF, jnp.float32)
+        near = jnp.full((nb,), -INF, jnp.float32)
+        for ax in range(3):
+            inv = 1.0 / blk[ax]
+            t0 = (box_ref[g, ax] - blk[6 + ax]) * inv
+            t1 = (box_ref[g, 3 + ax] - blk[6 + ax]) * inv
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
+        hits_box = (near <= far) & (far > 0)
+        contrib = jnp.where(hits_box, (far * 1.001 + 1e-3) * blk[10], 0.0)
+        bound_vec = jnp.maximum(bound_vec, contrib)
+    tmax_eff = jnp.minimum(tmax, bound_vec)
 
     def cond(state):
         j, mb = state[0], state[1]
@@ -268,15 +287,14 @@ def _general_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref,
         r10 = blk[0:10]
         s = blk[10]
         base = k * TC
-
-        def prod(m):
-            return jax.lax.dot_general(m, r10, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-
-        det = prod(cols_ref[pl.ds(base, TC), :])
-        u_num = prod(cols_ref[pl.ds(Tsum_pad + base, TC), :])
-        v_num = prod(cols_ref[pl.ds(2 * Tsum_pad + base, TC), :])
-        t_num = prod(cols_ref[pl.ds(3 * Tsum_pad + base, TC), :])
+        # Interleaved det/u/v/t rows: one full-array (128, 10) MXU pass.
+        prods = jax.lax.dot_general(
+            cols_ref[pl.ds(4 * base, 4 * TC), :], r10, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        det = prods[:TC]
+        u_num = prods[TC:2 * TC]
+        v_num = prods[2 * TC:3 * TC]
+        t_num = prods[3 * TC:]
         inv_det = 1.0 / det
         u = u_num * inv_det
         v = v_num * inv_det
@@ -284,9 +302,9 @@ def _general_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref,
         ok = _mt_mask(det, u, v, dist, True)
         tsh = jnp.where(ok, dist * s[None, :], INF)
         new_t = jnp.minimum(best_t, jnp.min(tsh, axis=0))
-        return j + 1, jnp.max(jnp.minimum(new_t, tmax)), new_t
+        return j + 1, jnp.max(jnp.minimum(new_t, tmax_eff)), new_t
 
-    init = (jnp.int32(0), jnp.max(tmax), jnp.full((nb,), INF, jnp.float32))
+    init = (jnp.int32(0), jnp.max(tmax_eff), jnp.full((nb,), INF, jnp.float32))
     _, _, bt = jax.lax.while_loop(cond, body, init)
     t_ref[0, :] = jnp.minimum(bt, tmax)
 
@@ -308,6 +326,7 @@ def batched_min_t_general(cols, spheres, rays, tmax, chunk_counts: tuple,
     n = rays.shape[1]
     n_pad = _round_up(n, NB)
     pad = n_pad - n
+    cols = chunk_interleave(cols, Tsum_pad, 4, TC)
     rays_p = jnp.pad(rays, ((0, 0), (0, pad)), constant_values=1.0)
     tmax_p = jnp.pad(tmax, (0, pad))[None, :]
     valid_p = None if valid is None else jnp.pad(valid, (0, pad))
@@ -318,8 +337,22 @@ def batched_min_t_general(cols, spheres, rays, tmax, chunk_counts: tuple,
         spheres, chunk_counts, d_os, o_os, s_os, valid=valid_p, enabled=enabled)
     chunk_obj = sum(((g,) * c for g, c in enumerate(chunk_counts)), ())
     cobj = jnp.asarray(chunk_obj, jnp.int32)[None, None, :]
+    # Per-object chunk-union boxes (object space); disabled objects get an
+    # empty box so they contribute nothing to the walk bound.
+    boxes = []
+    c0 = 0
+    for g in range(O):
+        sph_g = spheres[c0:c0 + chunk_counts[g]]
+        c0 += chunk_counts[g]
+        if enabled is not None and not enabled[g]:
+            boxes.append(jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0, 0.0]))
+            continue
+        lo = jnp.min(sph_g[:, :3] - sph_g[:, 3:4], axis=0)
+        hi = jnp.max(sph_g[:, :3] + sph_g[:, 3:4], axis=0)
+        boxes.append(jnp.concatenate([lo, hi]))
+    boxes = jnp.stack(boxes)  # (O, 6)
 
-    kernel = functools.partial(_general_batch_kernel, Tsum_pad=Tsum_pad)
+    kernel = functools.partial(_general_batch_kernel, O=O, Tsum_pad=Tsum_pad)
     C = spheres.shape[0]
     bt = pl.pallas_call(
         kernel,
@@ -329,6 +362,7 @@ def batched_min_t_general(cols, spheres, rays, tmax, chunk_counts: tuple,
             pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, C), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((O, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((cols.shape[0], 10), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ROWS_GEN * O, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -336,5 +370,5 @@ def batched_min_t_general(cols, spheres, rays, tmax, chunk_counts: tuple,
         out_specs=pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         interpret=interpret,
-    )(order, minds, counts, cobj, cols, rays_p, tmax_p)
+    )(order, minds, counts, cobj, boxes, cols, rays_p, tmax_p)
     return bt[0, :n]

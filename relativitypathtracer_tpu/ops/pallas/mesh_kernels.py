@@ -184,6 +184,20 @@ def live_chunk_lists(spheres, dh_p, o_p, valid=None):
     return bucket_order(mind, overlap)
 
 
+def chunk_interleave(grouped, T_pad, nf, tc):
+    """Relayout factor-grouped constants [f0(T_pad); f1; ...] into per-chunk
+    interleaved rows [f0_chunk0; f1_chunk0; ...; f0_chunk1; ...].
+
+    One (nf*tc, cols) slice then feeds a SINGLE MXU product per chunk: at
+    these shapes each dot_general streams all NB ray columns through the
+    systolic array regardless of row count, so nf separate (tc, cols)
+    products cost ~nf times one (nf*tc, cols) product.
+    """
+    cols = grouped.shape[1]
+    g = grouped.reshape(nf, T_pad // tc, tc, cols)
+    return g.transpose(1, 0, 2, 3).reshape(nf * T_pad, cols)
+
+
 def _mt_mask(det, u, v, dist, tri_ok):
     return (
         (jnp.abs(det) >= EPSILON)
@@ -233,18 +247,16 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
         j, mb, best_t, best_u, best_v, best_tri, best_attr = state
         k = order_ref[0, 0, j]
         base = k * TC
-        cd = consts_ref[pl.ds(base, TC), :]  # (Tc, 3)
-        cu = consts_ref[pl.ds(T_pad + base, TC), :]
-        cv = consts_ref[pl.ds(2 * T_pad + base, TC), :]
+        # Per-chunk INTERLEAVED det/u/v rows (see chunk_interleave): one
+        # (3*Tc, 3) @ (3, NB) MXU pass computes all three factors.
+        blk = consts_ref[pl.ds(3 * base, 3 * TC), :]
         ct = consts_ref[pl.ds(3 * T_pad + base, TC), 0]  # (Tc,)
 
-        def dot3(m):
-            return jax.lax.dot_general(m, dh, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-
-        det = dot3(cd)
-        u_num = dot3(cu)
-        v_num = dot3(cv)
+        prods = jax.lax.dot_general(blk, dh, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        det = prods[:TC]
+        u_num = prods[TC:2 * TC]
+        v_num = prods[2 * TC:]
         inv_det = 1.0 / det
         u = u_num * inv_det
         v = v_num * inv_det
@@ -308,6 +320,10 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False):
     n_pad = _round_up(n, NB)
     dh_p = jnp.pad(dh, ((0, 0), (0, n_pad - n)), constant_values=1.0)
     ro_p = jnp.broadcast_to(ro[:, None], (3, n_pad))
+    # Interleave det/u/v per chunk (ct block stays appended at 3*T_pad).
+    consts = jnp.concatenate(
+        [chunk_interleave(consts[:3 * T_pad], T_pad, 3, TC), consts[3 * T_pad:]],
+        axis=0)
     order, minds, counts = live_chunk_lists(spheres, dh_p, ro_p)
     lo = jnp.min(spheres[:, :3] - spheres[:, 3:4], axis=0)
     hi = jnp.max(spheres[:, :3] + spheres[:, 3:4], axis=0)
@@ -341,13 +357,32 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False):
     return bt[0, :n], bu[0, :n], bv[0, :n], btri[0, :n], battr[:, :n]
 
 
-def _general_kernel(order_ref, minds_ref, count_ref, cols_ref, r10_ref,
-                    tmax_ref, t_ref, *, T: int, T_pad: int):
+def _general_kernel(order_ref, minds_ref, count_ref, box_ref, cols_ref,
+                    r10_ref, tmax_ref, t_ref, *, T: int, T_pad: int):
     TC = TC_GEN
     r10 = r10_ref[:]  # (10, NB)
     nb = r10.shape[1]
     n_live = count_ref[0, 0, 0]
     tmax = tmax_ref[0, :]
+
+    # Per-lane walk bound: min(tmax, union-box exit). Every chunk lies inside
+    # the union box of the chunk spheres, so a ray that leaves the box has
+    # seen every possible occluder -- for shadow rays from the mesh's own
+    # surface this caps LIT lanes (the expensive ones: they must otherwise
+    # prove no occluder exists all the way to the light) at the box exit
+    # distance instead of the light distance. The RESULT is still
+    # min(best_t, tmax): truncating the search at the box exit is exact
+    # because no hit can exist beyond it.
+    far = jnp.full((nb,), INF, jnp.float32)
+    near = jnp.full((nb,), -INF, jnp.float32)
+    for ax in range(3):
+        inv = 1.0 / r10[ax]
+        t0 = (box_ref[0, ax] - r10[6 + ax]) * inv
+        t1 = (box_ref[0, 3 + ax] - r10[6 + ax]) * inv
+        near = jnp.maximum(near, jnp.minimum(t0, t1))
+        far = jnp.minimum(far, jnp.maximum(t0, t1))
+    hits_box = (near <= far) & (far > 0)
+    tmax_eff = jnp.minimum(tmax, jnp.where(hits_box, far * 1.001 + 1e-3, 0.0))
 
     def cond(state):
         # Strict < : see _shared_kernel. Critical for shadow blocks whose
@@ -360,15 +395,15 @@ def _general_kernel(order_ref, minds_ref, count_ref, cols_ref, r10_ref,
         j, mb, best_t = state
         k = order_ref[0, 0, j]
         base = k * TC
-
-        def prod(m):
-            return jax.lax.dot_general(m, r10, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-
-        det = prod(cols_ref[pl.ds(base, TC), :])
-        u_num = prod(cols_ref[pl.ds(T_pad + base, TC), :])
-        v_num = prod(cols_ref[pl.ds(2 * T_pad + base, TC), :])
-        t_num = prod(cols_ref[pl.ds(3 * T_pad + base, TC), :])
+        # Per-chunk INTERLEAVED det/u/v/t rows: ONE (4*Tc, 10) @ (10, NB)
+        # MXU pass (4*Tc = 128 rows fills the systolic array exactly).
+        prods = jax.lax.dot_general(
+            cols_ref[pl.ds(4 * base, 4 * TC), :], r10, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        det = prods[:TC]
+        u_num = prods[TC:2 * TC]
+        v_num = prods[2 * TC:3 * TC]
+        t_num = prods[3 * TC:]
         inv_det = 1.0 / det
         u = u_num * inv_det
         v = v_num * inv_det
@@ -376,15 +411,15 @@ def _general_kernel(order_ref, minds_ref, count_ref, cols_ref, r10_ref,
         tri_ok = (base + jax.lax.broadcasted_iota(jnp.int32, (TC, nb), 0)) < T
         dist = jnp.where(_mt_mask(det, u, v, dist, tri_ok), dist, INF)
         new_t = jnp.minimum(best_t, jnp.min(dist, axis=0))
-        # Search is bounded at tmax (the light distance for shadow rays):
-        # occluders beyond it are irrelevant, so chunks past it stop the walk.
-        return j + 1, jnp.max(jnp.minimum(new_t, tmax)), new_t
+        # Search bounded at min(tmax, box exit): occluders beyond either are
+        # irrelevant / impossible, so chunks past the bound stop the walk.
+        return j + 1, jnp.max(jnp.minimum(new_t, tmax_eff)), new_t
 
     # (A VMEM-loaded VECTOR as loop carry init crashes Mosaic; a scalar
-    # reduce of one is fine.) Starting mb at the block's max tmax instead of
+    # reduce of one is fine.) Starting mb at the block's max bound instead of
     # INF means blocks whose lanes are all masked-irrelevant (tmax 0) run
     # ZERO chunk iterations.
-    init = (jnp.int32(0), jnp.max(tmax), jnp.full((nb,), INF, jnp.float32))
+    init = (jnp.int32(0), jnp.max(tmax_eff), jnp.full((nb,), INF, jnp.float32))
     _, _, bt = jax.lax.while_loop(cond, body, init)
     t_ref[0, :] = jnp.minimum(bt, tmax)
 
@@ -405,8 +440,12 @@ def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, valid=None,
         tmax_obj = jnp.full((n,), INF, jnp.float32)
     tmax_p = jnp.pad(tmax_obj, (0, n_pad - n))[None, :]
     valid_p = None if valid is None else jnp.pad(valid, (0, n_pad - n))
+    cols_grouped = chunk_interleave(cols_grouped, T_pad, 4, TC_GEN)
     order, minds, counts = live_chunk_lists(
         spheres, r10_p[0:3], r10_p[6:9], valid=valid_p)
+    lo = jnp.min(spheres[:, :3] - spheres[:, 3:4], axis=0)
+    hi = jnp.max(spheres[:, :3] + spheres[:, 3:4], axis=0)
+    box = jnp.concatenate([lo, hi])[None, :]  # (1, 6) scalars
 
     kernel = functools.partial(_general_kernel, T=T_pad, T_pad=T_pad)
     bt = pl.pallas_call(
@@ -416,6 +455,7 @@ def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, valid=None,
             pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((cols_grouped.shape[0], 10), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((10, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -423,5 +463,5 @@ def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, valid=None,
         out_specs=pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         interpret=interpret,
-    )(order, minds, counts, cols_grouped, r10_p, tmax_p)
+    )(order, minds, counts, box, cols_grouped, r10_p, tmax_p)
     return bt[0, :n]
