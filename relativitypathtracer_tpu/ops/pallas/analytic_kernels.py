@@ -24,9 +24,16 @@ intersect_cube :312-333, object iteration :379-424):
   object-space hit point + winner kind, and the wrapper computes the
   spherical-UV transcendentals outside on the final (3, N) values only.
 
-Object count is small (tens), so there is no culling/live-list machinery:
-a fixed O-iteration loop per block is already compute-trivial next to the
-HBM traffic it replaces.
+Per-block object culling (nearest kernel): each 1024-ray block's camera
+cone is mapped CONSERVATIVELY into every object's rest frame (the affine
+dir transform bounds the transformed cone's half-angle via the Frobenius
+norm of its linear part) and tested against the object's bounding sphere
+(unit sphere / sqrt(3) cube). Live objects arrive per block as an
+approximately front-to-back SMEM list with camera-t bucket floors, and the
+walk early-terminates once every lane's best t is nearer than the next
+object's floor -- the analytic analog of the mesh kernels' live-chunk
+machinery. A 34-cube scene's receding rows then cost each block only the
+handful of cubes its cone can see.
 """
 
 from __future__ import annotations
@@ -88,6 +95,61 @@ def pack_analytic_params_general(L, inv_m, ids):
     idf = idx.astype(jnp.float32)[:, None]
     rows = jnp.concatenate([A.reshape(-1, 12), b, NT, idf], axis=1)
     return jnp.pad(rows, ((0, 0), (0, PARAM_COLS - rows.shape[1])))
+
+
+def live_objects(params, rs, dir4_p, interval):
+    """Per-block live-object lists for the shared-origin nearest kernel.
+
+    params: (G_pad, PARAM_COLS) rows for ONE kind (G = rs.shape[0] real
+    rows); rs: (G,) object-space bounding radius (1 sphere, sqrt(3) cube);
+    dir4_p: (4, n_pad) camera 4-dirs (spatial part unit). Returns
+    (order, floors, counts) rank-3 SMEM lists via bucket_order, with
+    floors as conservative lower bounds on the CAMERA-frame hit t.
+
+    Soundness: for block cone axis c (half-angle a) the transformed dir
+    d' = A3 d3 + interval*a_t satisfies |d' - d_c| <= |A3|_F * 2 sin(a/2),
+    so angle(d', d_c) <= asin(dev / (|d_c| - dev)); the object-space test
+    is then cone-vs-origin-sphere. A hit at object distance >= dlen - rs
+    has camera t = dist/|d'| >= (dlen - rs)/(|A3|_F + |a_t|).
+    """
+    from .mesh_kernels import bucket_order
+
+    G = rs.shape[0]
+    A = params[:G, 0:12].reshape(G, 3, 4)
+    a_t = A[:, :, 0]  # (G, 3) time column (scaled by interval below)
+    A3 = A[:, :, 1:4]
+    ro = params[:G, 12:15]
+    fro = jnp.sqrt(jnp.sum(A3 * A3, axis=(1, 2)))  # (G,) |A3|_F >= sigma_max
+    at_n = jnp.sqrt(jnp.sum(a_t * a_t, axis=1)) * abs(float(interval))
+
+    d3 = dir4_p[1:4].reshape(3, -1, NB)  # (3, B, NB) unit camera dirs
+    mean = jnp.mean(d3, axis=2)
+    axis = mean / jnp.maximum(jnp.sqrt(jnp.sum(mean * mean, axis=0)), 1e-12)
+    cos_a = jnp.min(jnp.sum(d3 * axis[:, :, None], axis=0), axis=1)  # (B,)
+    half = jnp.sqrt(jnp.maximum((1.0 - cos_a) / 2.0, 0.0))  # sin(a/2)
+
+    # Transformed cone center per (object, block).
+    d_c = jnp.einsum("gij,jb->gib", A3, axis) + float(interval) * a_t[:, :, None]
+    nc = jnp.sqrt(jnp.sum(d_c * d_c, axis=1))  # (G, B)
+    dev = fro[:, None] * (2.0 * half[None, :])  # (G, B)
+    full = dev >= nc - 1e-12
+    sin_t = jnp.clip(dev / jnp.maximum(nc - dev, 1e-12), 0.0, 1.0)
+    sin_t = jnp.where(full, 1.0, sin_t)
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 0.0))
+    cos_t = jnp.where(full, -1.0, cos_t)  # full cone: overlap everything
+
+    dlen = jnp.sqrt(jnp.sum(ro * ro, axis=1))  # (G,) apex to sphere center
+    cos_d = jnp.sum(-ro[:, :, None] * d_c, axis=1) / jnp.maximum(
+        dlen[:, None] * nc, 1e-12)
+    sin_b = jnp.minimum(rs / jnp.maximum(dlen, 1e-12), 1.0)[:, None]
+    cos_b = jnp.sqrt(jnp.maximum(1.0 - sin_b * sin_b, 0.0))
+    sin_tt = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    overlap = ((dlen <= rs)[:, None] | (cos_b <= -cos_t)
+               | (cos_d >= cos_t * cos_b - sin_tt * sin_b))  # (G, B)
+    mind = (jnp.maximum(dlen - rs, 0.0)[:, None]
+            / jnp.maximum(fro + at_n, 1e-12)[:, None])  # camera-t lower bound
+    mind = jnp.broadcast_to(mind, overlap.shape)
+    return bucket_order(mind.T, overlap.T)  # (B, G) per-block lists
 
 
 def _affine_rows(p_ref, g, vec4, with_b: bool):
@@ -163,11 +225,14 @@ def _apply_nt(p_ref, g, n):
     return [o * inv for o in out]
 
 
-def _nearest_kernel(p_ref, dir4_ref, t_ref, obj_ref, kind_ref, n_ref, s3_ref,
+def _nearest_kernel(os_ref, ms_ref, cs_ref, oc_ref, mc_ref, cc_ref,
+                    p_ref, dir4_ref, t_ref, obj_ref, kind_ref, n_ref, s3_ref,
                     *, n_spheres: int, n_cubes: int):
-    """Walk all objects against one resident ray block, tracking the nearest
-    hit. Spheres come first, then cubes (matching the jnp path's merge order
-    so strict-< tie-breaking is identical)."""
+    """Walk this block's LIVE objects (per-kind front-to-back SMEM lists),
+    tracking the nearest hit. Spheres walk first, then cubes (matching the
+    jnp path's merge order; within a kind the order only differs at exact
+    fp ties). Early termination: the walk stops once every lane's best t is
+    nearer than the next object's camera-t floor."""
     dir4 = dir4_ref[:]  # (4, NB)
     nb = dir4.shape[1]
 
@@ -200,6 +265,22 @@ def _nearest_kernel(p_ref, dir4_ref, t_ref, obj_ref, kind_ref, n_ref, s3_ref,
             [jnp.where(better, s3[k], best_s3[k]) for k in range(3)],
         )
 
+    def walk(o_ref, m_ref, c_ref, is_sphere: bool, offset: int, state):
+        n_live = c_ref[0, 0, 0]
+
+        def cond(st):
+            j, mb = st[0], st[1]
+            return (j < n_live) & (m_ref[0, 0, o_ref[0, 0, j]] < mb)
+
+        def body(st):
+            j, mb, inner = st[0], st[1], st[2:]
+            g = o_ref[0, 0, j] + offset
+            new = obj_step(g, is_sphere, tuple(inner))
+            return (j + 1, jnp.max(new[0])) + new
+
+        st = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(INF)) + state)
+        return st[2:]
+
     state = (
         jnp.full((nb,), INF, jnp.float32),
         jnp.zeros((nb,), jnp.float32),
@@ -209,11 +290,9 @@ def _nearest_kernel(p_ref, dir4_ref, t_ref, obj_ref, kind_ref, n_ref, s3_ref,
     )
     # Static specialization: a scene with no spheres emits no sphere code.
     if n_spheres:
-        state = jax.lax.fori_loop(
-            0, n_spheres, lambda g, s: obj_step(g, True, s), state)
+        state = walk(os_ref, ms_ref, cs_ref, True, 0, state)
     if n_cubes:
-        state = jax.lax.fori_loop(
-            n_spheres, n_spheres + n_cubes, lambda g, s: obj_step(g, False, s), state)
+        state = walk(oc_ref, mc_ref, cc_ref, False, n_spheres, state)
 
     best_t, best_obj, best_kind, best_n, best_s3 = state
     t_ref[0, :] = best_t
@@ -236,28 +315,56 @@ def _finish_uv(kind, s3):
     return jnp.stack([u, v])
 
 
-@functools.partial(jax.jit, static_argnames=("n_spheres", "n_cubes", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_spheres", "n_cubes",
+                                             "interval", "interpret"))
 def analytic_nearest_shared(params, dir4, n_spheres: int, n_cubes: int,
-                            interpret: bool = False):
+                            interval: int, interpret: bool = False):
     """Nearest sphere/cube hit for rays sharing the camera origin.
 
     params: (G, PARAM_COLS) from pack_analytic_params (spheres first, then
     cubes -- the same merge order as the jnp path); dir4: (4, N) camera-frame
-    ray 4-dirs. Returns (t (N,), normal (3, N) rest-frame, uv (2, N),
-    obj (N,) i32 global ids). Lanes with no hit carry t = INF, obj of the
-    last compare loser (consumers mask on t < INF).
+    ray 4-dirs; interval: the static light-propagation toggle (needed for
+    the conservative cone transform in live_objects). Returns (t (N,),
+    normal (3, N) rest-frame, uv (2, N), obj (N,) i32 global ids). Lanes
+    with no hit carry t = INF, obj of the last compare loser (consumers
+    mask on t < INF).
     """
     n = dir4.shape[1]
     n_pad = _round_up(n, NB)
     dir4_p = jnp.pad(dir4, ((0, 0), (0, n_pad - n)), constant_values=1.0)
 
+    # Per-kind per-block live-object lists (size-1 dummies for absent kinds
+    # keep the kernel signature fixed; static counts skip their walks).
+    n_blocks = n_pad // NB
+    dummy = (jnp.zeros((n_blocks, 1, 1), jnp.int32),
+             jnp.zeros((n_blocks, 1, 1), jnp.float32),
+             jnp.zeros((n_blocks, 1, 1), jnp.int32))
+    if n_spheres:
+        os_, ms_, cs_ = live_objects(
+            params[:n_spheres], jnp.ones((n_spheres,)), dir4_p, interval)
+    else:
+        os_, ms_, cs_ = dummy
+    if n_cubes:
+        oc_, mc_, cc_ = live_objects(
+            params[n_spheres:n_spheres + n_cubes],
+            jnp.full((n_cubes,), 3.0 ** 0.5), dir4_p, interval)
+    else:
+        oc_, mc_, cc_ = dummy
+
     kernel = functools.partial(_nearest_kernel, n_spheres=n_spheres, n_cubes=n_cubes)
     row = pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
     vec3 = pl.BlockSpec((3, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def smem3(a):
+        return pl.BlockSpec((1, 1, a.shape[2]), lambda i: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
+
     t, obj, kind, nrm, s3 = pl.pallas_call(
         kernel,
-        grid=(n_pad // NB,),
+        grid=(n_blocks,),
         in_specs=[
+            smem3(os_), smem3(ms_), smem3(cs_),
+            smem3(oc_), smem3(mc_), smem3(cc_),
             pl.BlockSpec((params.shape[0], PARAM_COLS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((4, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -271,7 +378,7 @@ def analytic_nearest_shared(params, dir4, n_spheres: int, n_cubes: int,
             jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
         ),
         interpret=interpret,
-    )(params, dir4_p)
+    )(os_, ms_, cs_, oc_, mc_, cc_, params, dir4_p)
     uv = _finish_uv(kind[0, :n], s3[:, :n])
     return t[0, :n], nrm[:, :n], uv, obj[0, :n]
 

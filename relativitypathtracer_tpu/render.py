@@ -129,10 +129,13 @@ def apply44_perpixel(m, v):
     return jnp.einsum("ijn,jn->in", m, v)
 
 
-def intersect_scene(scene: Scene, meta: SceneMeta, L, stat_cam, dir4):
+def intersect_scene(scene: Scene, meta: SceneMeta, L, stat_cam, dir4,
+                    interval: int = -1):
     """Nearest hit over all objects for rays sharing the camera origin.
 
-    dir4: (4, N) = (interval, unit camera dir) in the camera frame.
+    dir4: (4, N) = (interval, unit camera dir) in the camera frame;
+    `interval` must match dir4's (static) time row -- the analytic object
+    culling needs it as a Python value.
     Returns (t, normal (3, N), uv (2, N), obj_id, did_hit); normals live in
     the hit object's rest frame, t is the shared 4D ray parameter.
     """
@@ -158,7 +161,8 @@ def intersect_scene(scene: Scene, meta: SceneMeta, L, stat_cam, dir4):
         ids = tuple(meta.sphere_ids) + tuple(meta.cube_ids)
         params = pack_analytic_params(L, objects.inv_m, stat_cam, ids)
         cand = analytic_nearest_shared(
-            params, dir4, len(meta.sphere_ids), len(meta.cube_ids), interpret=interp)
+            params, dir4, len(meta.sphere_ids), len(meta.cube_ids),
+            interval, interpret=interp)
         best = _merge_best(best, cand)
     else:
         for fn, ids_all in ((sphere_intersect, meta.sphere_ids), (cube_intersect, meta.cube_ids)):
@@ -258,7 +262,8 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     n_rays = dirs.shape[1]
     dir4 = jnp.concatenate([jnp.full((1, n_rays), float(interval)), dirs], axis=0)
 
-    t, normal, uv, obj, did_hit = intersect_scene(scene, meta, L, stat_cam, dir4)
+    t, normal, uv, obj, did_hit = intersect_scene(scene, meta, L, stat_cam,
+                                                  dir4, interval)
 
     n_obj = meta.num_objects
     obj_onehot = (
