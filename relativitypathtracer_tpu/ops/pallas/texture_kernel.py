@@ -66,9 +66,12 @@ def _tex_kernel(quads_ref, uv_ref, fp_ref, wh_ref, out_ref):
     # Mosaic lacks u32->f32; the table arrives as i32 (values < 2^24, so the
     # reinterpretation outside the kernel is lossless).
     table = quads_ref[:].astype(jnp.float32)  # (Rq, 8)
+    # Precision.HIGHEST: Mosaic's default f32 dot runs bf16 passes, which
+    # truncates the 24-bit packed texels (low 16 bits lost -> wrong R/G).
     rows = jax.lax.dot_general(
         table, onehot, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (8, NB)
 
     quad = jnp.where(hi_half[None, :], rows[4:8], rows[0:4]).astype(jnp.int32)
@@ -116,4 +119,157 @@ def footprint_sample_small(quads, fp, width, height, uv, interpret=False):
         out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
         interpret=interpret,
     )(quads, uv_p, fp_p, wh_p)
+    return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# Windowed variant: arbitrary-size atlases without XLA's row gather.
+#
+# The XLA (Rq, 8) row gather costs ~3.2 ms per 786k rays on a v5e REGARDLESS
+# of table size or access coherence (latency-bound, ~4 ns/row). But rays are
+# processed in tile-major order, so one 1024-ray block touches a COMPACT row
+# range of the atlas at moderate minification. This kernel keeps the atlas in
+# HBM (pl.ANY), computes the block's row range in-kernel, and walks it in
+# 1024-row windows: each window is DMA'd into VMEM scratch and fetched with
+# the same one-hot MXU product as the small-table kernel. Blocks whose rays
+# span one window (the common case) cost ~1 window; heavily minified blocks
+# walk more. Exactness: windows ascend and each lane accumulates only rows in
+# [max(start, prev_end), start + W), so clamp-induced overlaps never double
+# count; the final quad values are the same i32 -> f32 selects as the gather.
+
+W_ROWS = 1024  # window rows (= W_GRP row-groups of 16 packed into 128 lanes)
+W_GRP = W_ROWS // 16
+# Routing cap for the windowed path: the per-block walk covers the block's
+# atlas ROW RANGE, so its worst case (a large textured surface under heavy
+# minification spreading every block across the whole atlas) scales with
+# atlas size; beyond this, the flat ~3ms XLA row gather is the safer floor.
+WINDOWED_MAX_ROWS = 200_000
+
+
+def _tex_window_kernel(quads_hbm, uv_ref, fp_ref, wh_ref, out_ref,
+                       scratch, sem, *, rq: int):
+    uv = uv_ref[:]
+    fp = fp_ref[:]
+    wh = wh_ref[:]
+    nb = uv.shape[1]
+
+    w = wh[0]
+    h = wh[1]
+    u = w.astype(jnp.float32) * uv[0]
+    v = h.astype(jnp.float32) * (1.0 - uv[1])
+    x = jnp.minimum(jnp.floor(u).astype(jnp.int32), w - 1)
+    y = jnp.minimum(jnp.floor(v).astype(jnp.int32), h - 1)
+    u_ratio = u - x.astype(jnp.float32)
+    v_ratio = v - y.astype(jnp.float32)
+    u_opp = 1.0 - u_ratio
+    v_opp = 1.0 - v_ratio
+    x0 = jnp.clip(x, 0, w - 1)
+    y0 = jnp.clip(y, 0, h - 1)
+
+    base_quad, rx, ry, wb, rw, rh = fp[0], fp[1], fp[2], fp[3], fp[4], fp[5]
+    lx = jnp.clip(x0 - rx, 0, jnp.maximum(rw - 1, 0))
+    ly = jnp.clip(y0 - ry, 0, jnp.maximum(rh - 1, 0))
+    slot = ((ly >> 4) * wb + (lx >> 4)) * 256 + (ly & 15) * 16 + (lx & 15)
+    idx4 = jnp.clip((base_quad + slot) * 4, 0, rq * 8 - 4)
+    row = idx4 >> 3  # (NB,) in [0, rq)
+    hi_half = (idx4 & 7) >= 4
+
+    # HBM layout packs 16 atlas rows per 128-lane scratch row: the DMA slice
+    # is lane-aligned, and the one-hot contraction runs over ROW-GROUPS
+    # (K = W_GRP per window, one MXU pass).
+    grp = row >> 4  # (NB,) row-group id
+    sub = row & 15
+    rqg = rq // 16
+    # Sublane-align window starts (HBM DMA slices of an i32 (8, 128)-tiled
+    # array need 8-aligned row offsets); rqg is 8-aligned by construction.
+    g_min = (jnp.min(grp) >> 3) << 3
+    g_max = jnp.max(grp)
+    n_win = (g_max - g_min) // W_GRP + 1
+
+    def body(state):
+        j, acc = state
+        start = jnp.minimum(g_min + j * W_GRP, rqg - W_GRP)
+        dma = pltpu.make_async_copy(
+            quads_hbm.at[pl.ds(start, W_GRP), :], scratch, sem)
+        dma.start()
+        dma.wait()
+        # Groups already covered by earlier (ascending, possibly clamped)
+        # windows are excluded so nothing double-counts.
+        prev_end = g_min + j * W_GRP  # unclamped => covered so far
+        rel = grp - start
+        in_win = (grp >= prev_end) & (rel >= 0) & (rel < W_GRP)
+        onehot = jnp.where(
+            (jax.lax.broadcasted_iota(jnp.int32, (W_GRP, nb), 0)
+             == rel[None, :]) & in_win[None, :], 1.0, 0.0)
+        table = scratch[:].astype(jnp.float32)  # (W_GRP, 128)
+        # HIGHEST: see _tex_kernel -- bf16 passes would truncate the packed
+        # 24-bit texel values.
+        big = jax.lax.dot_general(
+            table, onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (128, NB) whole row-group
+        # Select this lane's 8-wide quad row out of the 16 packed per group.
+        fetched = []
+        for k in range(8):
+            v = jnp.zeros((nb,), jnp.float32)
+            for g in range(16):
+                v = v + jnp.where(sub == g, big[g * 8 + k], 0.0)
+            fetched.append(v)
+        return j + 1, acc + jnp.stack(fetched)
+
+    init = (jnp.int32(0), jnp.zeros((8, nb), jnp.float32))
+    _, rows8 = jax.lax.while_loop(lambda s: s[0] < n_win, body, init)
+
+    quad = jnp.where(hi_half[None, :], rows8[4:8], rows8[0:4]).astype(jnp.int32)
+    r = (quad & 0xFF).astype(jnp.float32) / 255.0
+    g = ((quad >> 8) & 0xFF).astype(jnp.float32) / 255.0
+    b = ((quad >> 16) & 0xFF).astype(jnp.float32) / 255.0
+
+    def mix(t):
+        row1 = t[0] * u_opp + t[1] * u_ratio
+        row2 = t[2] * u_ratio + t[3] * u_opp
+        return row1 * v_opp + row2 * v_ratio
+
+    out_ref[0, :] = mix(r)
+    out_ref[1, :] = mix(g)
+    out_ref[2, :] = mix(b)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def footprint_sample_windowed(quads, fp, width, height, uv, interpret=False):
+    """Arbitrary-Rq footprint fetch via HBM-windowed DMA + one-hot MXU.
+
+    Same signature/results as bilinear_sample_footprint; use when
+    Rq > MAX_ROWS (the VMEM-resident small kernel is cheaper below that).
+    """
+    n = uv.shape[1]
+    n_pad = -(-n // NB) * NB
+    pad = n_pad - n
+    uv_p = jnp.pad(uv, ((0, 0), (0, pad)))
+    fp_p = jnp.pad(fp, ((0, 0), (0, pad)))
+    wh_p = jnp.pad(jnp.stack([width, height]), ((0, 0), (0, pad)), constant_values=1)
+    rq = max(-(-quads.shape[0] // 128) * 128, W_ROWS)
+    quads_i = jax.lax.bitcast_convert_type(quads, jnp.int32)
+    if rq > quads.shape[0]:
+        quads_i = jnp.pad(quads_i, ((0, rq - quads.shape[0]), (0, 0)))
+    quads_i = quads_i.reshape(rq // 16, 128)  # 16 rows packed per 128 lanes
+
+    kernel = functools.partial(_tex_window_kernel, rq=rq)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // NB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((W_GRP, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(quads_i, uv_p, fp_p, wh_p)
     return out[:, :n]

@@ -283,14 +283,26 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     tex_h = jnp.maximum(sel_i32(objects.tex_h), 1)
     if meta.use_footprint_tex:
         from .ops.mesh_intersect import _resolve_pallas
-        from .ops.pallas.texture_kernel import MAX_ROWS, footprint_sample_small
+        from .ops.pallas.texture_kernel import (
+            MAX_ROWS, WINDOWED_MAX_ROWS, footprint_sample_small,
+            footprint_sample_windowed)
 
         fp = jnp.stack([sel_i32(scene.tex_fp[:, k]) for k in range(6)])  # (6, N)
         use_p, interp = _resolve_pallas(None)
         if use_p and scene.tex_quads.shape[0] <= MAX_ROWS:
             # Small atlas: VMEM-resident one-hot MXU fetch (the XLA row
-            # gather costs ~4.3ms/786k rays even on a 4KB table).
+            # gather costs ~3ms/786k rays even on a 4KB table).
             tex_rgb = footprint_sample_small(
+                scene.tex_quads, fp, tex_w, tex_h, uv, interpret=interp)
+        elif use_p and scene.tex_quads.shape[0] <= WINDOWED_MAX_ROWS:
+            # Mid-size atlas: per-block HBM-windowed DMA + one-hot fetch.
+            # Screen tiles touch compact atlas row ranges, so most blocks
+            # walk ~one 1024-row window (cube.txt texture fetch: ~3.9 ->
+            # ~1 ms); the row-range walk degrades under heavy minification
+            # (a large grazing textured surface), so atlases big enough to
+            # make that pathological (arch/cubes' 1024^2 textures) keep the
+            # XLA row gather, which is ~3ms flat regardless of coherence.
+            tex_rgb = footprint_sample_windowed(
                 scene.tex_quads, fp, tex_w, tex_h, uv, interpret=interp)
         else:
             tex_rgb = bilinear_sample_footprint(scene.tex_quads, fp, tex_w, tex_h, uv)

@@ -32,7 +32,7 @@ def _render(scene, meta, mode):
         build_render_fn.cache_clear()
 
 
-@pytest.mark.parametrize("name", ["shadows", "bunny", "cubes"])
+@pytest.mark.parametrize("name", ["shadows", "bunny", "cubes", "cube", "soccer"])
 def test_interpret_kernels_match_jnp_render(name, reference_root):
     """Full-frame equality between the Pallas kernel path and the jnp path.
 
