@@ -315,12 +315,12 @@ def mesh_intersect_shared_batched(mesh, meta, batch, L, inv_ms, m4s,
     Returns (t, normal (3, N) rest-frame of the winner, uv, obj global id,
     valid) directly mergeable with the analytic candidates.
     """
-    from .pallas.mesh_batch import ROWS_SH, batched_nearest_shared
+    from .pallas.mesh_batch import MAT_COLS, batched_nearest_shared
 
     n = dir4.shape[1]
     consts_det, consts_u, consts_v, consts_ct = [], [], [], []
-    ray_rows = []
-    boxes = []
+    boxes, mats_rows = [], []
+    d_os, o_os, s_os = [], [], []
     c0 = 0
     for k, i in enumerate(meta.mesh_ids):
         d4 = L[i] @ dir4
@@ -337,9 +337,16 @@ def mesh_intersect_shared_batched(mesh, meta, batch, L, inv_ms, m4s,
         consts_u.append(cst[T_pad_k:2 * T_pad_k])
         consts_v.append(cst[2 * T_pad_k:3 * T_pad_k])
         consts_ct.append(cst[3 * T_pad_k:4 * T_pad_k])
-        ro_b = jnp.broadcast_to(ro[:, None], (3, n))
-        ray_rows.append(jnp.concatenate(
-            [dh, s[None, :], ro_b, jnp.zeros((ROWS_SH - 7, n))], axis=0))
+        # Live-list inputs (XLA fuses these into the cone reductions); the
+        # kernel itself re-derives rays in-kernel from the mats table.
+        d_os.append(dh)
+        o_os.append(jnp.broadcast_to(ro[:, None], (3, n)))
+        s_os.append(s)
+        A = inv_ms[i][:3, :3] @ L[i][1:4, :]  # (3, 4) fused dir transform
+        mats_rows.append(jnp.concatenate([
+            A.reshape(12), inv_ms[i][:3, 3], ro, m4s[i][:3, :3].reshape(9),
+            L[i][1:4, :].reshape(12), jnp.zeros((MAT_COLS - 39,)),
+        ]))
         nck = meta.mesh_chunk_counts[k]
         sph_k = batch.spheres[c0:c0 + nck]
         c0 += nck
@@ -347,11 +354,12 @@ def mesh_intersect_shared_batched(mesh, meta, batch, L, inv_ms, m4s,
         hi = jnp.max(sph_k[:, :3] + sph_k[:, 3:4], axis=0)
         boxes.append(jnp.concatenate([lo, hi, ro]))
     consts = jnp.concatenate(consts_det + consts_u + consts_v + consts_ct, axis=0)
-    rays = jnp.concatenate(ray_rows, axis=0)
     boxes = jnp.stack(boxes)
+    mats = jnp.stack(mats_rows)
 
     t, bu, bv, btri, bobj, battr = batched_nearest_shared(
-        consts, batch.attrs, batch.spheres, boxes, rays,
+        consts, batch.attrs, batch.spheres, boxes, mats, dir4,
+        jnp.stack(d_os), jnp.stack(o_os), jnp.stack(s_os),
         meta.mesh_chunk_counts, interpret=interpret)
     valid = btri >= 0
     interp = battr[0:5] + bu * battr[5:10] + bv * battr[10:15]
@@ -382,10 +390,9 @@ def mesh_min_t_general_batched(mesh, meta, batch, L, inv_ms, m4s,
     a per-call pool view without touching the static arrays.
     Returns (N,) f32 min(t_shared, tmax)-like (INF where nothing hit).
     """
-    from .pallas.mesh_batch import ROWS_GEN, batched_min_t_general
+    from .pallas.mesh_batch import MAT_COLS, batched_min_t_general
 
-    n = dir4.shape[1]
-    ray_rows = []
+    d_os, o_os, s_os, mats_rows = [], [], [], []
     for k, i in enumerate(meta.mesh_ids):
         o4 = L[i] @ origins4
         d4 = L[i] @ dir4
@@ -393,18 +400,21 @@ def mesh_min_t_general_batched(mesh, meta, batch, L, inv_ms, m4s,
         d = apply_linear3(inv_ms[i], d4[1:4])
         dh = d / norm3(d)
         s = norm3(apply_linear3(m4s[i], dh)) / norm3(d4[1:4])
-        mom = jnp.stack([
-            ro[1] * dh[2] - ro[2] * dh[1],
-            ro[2] * dh[0] - ro[0] * dh[2],
-            ro[0] * dh[1] - ro[1] * dh[0],
-        ])
-        r10 = jnp.concatenate([dh, mom, ro, jnp.ones((1, n))], axis=0)
-        ray_rows.append(jnp.concatenate(
-            [r10, s[None, :], jnp.zeros((ROWS_GEN - 11, n))], axis=0))
-    rays = jnp.concatenate(ray_rows, axis=0)
+        d_os.append(dh)
+        o_os.append(ro)
+        s_os.append(s)
+        A = inv_ms[i][:3, :3] @ L[i][1:4, :]
+        mats_rows.append(jnp.concatenate([
+            A.reshape(12), inv_ms[i][:3, 3], jnp.zeros((3,)),
+            m4s[i][:3, :3].reshape(9), L[i][1:4, :].reshape(12),
+            jnp.zeros((MAT_COLS - 39,)),
+        ]))
+    mats = jnp.stack(mats_rows)
     enabled = tuple(i != exclude_id for i in meta.mesh_ids)
     valid = tmax > 0.0
-    bt = batched_min_t_general(batch.gen_cols, batch.spheres, rays, tmax,
+    bt = batched_min_t_general(batch.gen_cols, batch.spheres, mats,
+                               origins4, dir4, jnp.stack(d_os),
+                               jnp.stack(o_os), jnp.stack(s_os), tmax,
                                meta.mesh_chunk_counts, enabled=enabled,
                                valid=valid, interpret=interpret)
     return bt

@@ -46,8 +46,66 @@ from .mesh_kernels import (
     _round_up, bucket_order, chunk_interleave,
 )
 
-ROWS_SH = 8   # ray rows per object, shared kernel: [dh(3), s(1), ro(3), pad]
-ROWS_GEN = 16  # ray rows per object, general kernel: [r10(10), s(1), pad(5)]
+ROWS_SH = 8   # scratch rows per object, shared kernel: [dh(3), s(1), pad(4)]
+ROWS_GEN = 16  # scratch rows per object, general kernel: [r10(10), s(1), pad]
+
+# Per-object transform table (SMEM (O, MAT_COLS)); rays are transformed
+# IN-KERNEL at block start (a static O-loop of scalar-broadcast FMAs into
+# VMEM scratch), so the kernels read only the camera-frame dir4/origins4 --
+# materializing (8|16)*O ray rows per frame in HBM cost ~O x 100MB of
+# traffic at 8 instances.
+MAT_COLS = 40
+_A = 0      # rows 0:12  fused dir/origin transform A = R_invm @ L[1:4,:]
+_B = 12     # rows 12:15 inv_m translation (origin affine part)
+_RO = 15    # rows 15:18 shared-origin object-space origin (shared kernel)
+_MR = 18    # rows 18:27 m4[:3,:3] row-major (object->rest scale for s)
+_L3 = 27    # rows 27:39 L[1:4,:] row-major (|d3| for s)
+
+
+def _fill_ray_scratch(mats_ref, d4, o4, scratch, rows: int, O: int):
+    """Per-object transformed rays into VMEM scratch (static O-loop).
+
+    d4: (4, NB) camera 4-dirs; o4: (4, NB) camera 4-origins or None
+    (shared-origin kernels). Writes per object g:
+      rows 0:3  dh   unit object-space dir
+      row  3    s    object-dist -> shared-t scale   (shared layout), or
+      rows 0:10 r10 = [dh, ro x dh, ro, 1], row 10 s (general layout).
+    """
+    def mat_rows(g, base, n_out, vec, ncols=4):
+        out = []
+        for i in range(n_out):
+            acc = mats_ref[g, base + ncols * i] * vec[0]
+            for j in range(1, ncols):
+                acc = acc + mats_ref[g, base + ncols * i + j] * vec[j]
+            out.append(acc)
+        return out
+
+    d4l = [d4[i] for i in range(4)]
+    o4l = None if o4 is None else [o4[i] for i in range(4)]
+    for g in range(O):
+        d = mat_rows(g, _A, 3, d4l)
+        dn = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+        dh = [dk / dn for dk in d]
+        d3 = mat_rows(g, _L3, 3, d4l)
+        d3n = jnp.sqrt(d3[0] * d3[0] + d3[1] * d3[1] + d3[2] * d3[2])
+        mdh = mat_rows(g, _MR, 3, dh, ncols=3)
+        s = jnp.sqrt(mdh[0] * mdh[0] + mdh[1] * mdh[1] + mdh[2] * mdh[2]) / d3n
+        if o4 is None:
+            for k in range(3):
+                scratch[rows * g + k, :] = dh[k]
+            scratch[rows * g + 3, :] = s
+        else:
+            ro = mat_rows(g, _A, 3, o4l)
+            ro = [ro[k] + mats_ref[g, _B + k] for k in range(3)]
+            mom = [ro[1] * dh[2] - ro[2] * dh[1],
+                   ro[2] * dh[0] - ro[0] * dh[2],
+                   ro[0] * dh[1] - ro[1] * dh[0]]
+            for k in range(3):
+                scratch[rows * g + k, :] = dh[k]
+                scratch[rows * g + 3 + k, :] = mom[k]
+                scratch[rows * g + 6 + k, :] = ro[k]
+            scratch[rows * g + 9, :] = jnp.ones_like(s)
+            scratch[rows * g + 10, :] = s
 
 
 def live_chunk_lists_multi(spheres, chunk_counts, d_os, o_os, s_os,
@@ -91,14 +149,16 @@ def live_chunk_lists_multi(spheres, chunk_counts, d_os, o_os, s_os,
 
 
 def _shared_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
-                         consts_ref, attr_ref, rays_ref,
+                         mats_ref, consts_ref, attr_ref, dir4_ref,
                          t_ref, u_ref, v_ref, tri_ref, obj_ref, attr_out_ref,
-                         *, O: int, Tsum_pad: int):
+                         rays_ref, *, O: int, Tsum_pad: int):
     """Walk the fused live-chunk list; per chunk, intersect in the chunk's
     object frame and reduce nearest on the SHARED ray parameter.
-    box_ref: (O, 9) SMEM rows [union lo(3), hi(3), ro(3)] per object."""
+    box_ref: (O, 9) SMEM rows [union lo(3), hi(3), ro(3)] per object;
+    rays_ref: VMEM scratch filled at block start from dir4 + mats."""
     nb = NB
     n_live = count_ref[0, 0, 0]
+    _fill_ray_scratch(mats_ref, dir4_ref[:], None, rays_ref, ROWS_SH, O)
 
     # Per-lane search bound (shared units): for each object, the slab far
     # distance vs its chunk-sphere union box, scaled per lane; a lane's
@@ -190,30 +250,34 @@ def _shared_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_counts", "interpret"))
-def batched_nearest_shared(consts, attrs, spheres, boxes, rays,
+def batched_nearest_shared(consts, attrs, spheres, boxes, mats, dir4,
+                           d_os, o_os, s_os,
                            chunk_counts: tuple, interpret=False):
     """Nearest hit over ALL mesh objects for shared-per-object-origin rays.
 
     consts: (4*Tsum_pad, 3) factor-grouped pool; attrs: (Tsum_pad, 15);
-    spheres: (C, 4); boxes: (O, 9); rays: (8*O, N) rows [dh(3), s(1), ro(3),
-    0] per object; chunk_counts: static tuple, chunks per object.
+    spheres: (C, 4); boxes: (O, 9); mats: (O, MAT_COLS) per-object
+    transform table (rays transform IN-KERNEL); dir4: (4, N) camera
+    4-dirs; d_os/o_os/s_os: (O, 3, N)/(O, 3, N)/(O, N) per-object dirs /
+    origins / scales for the live-list pass only (XLA fuses them into the
+    cone reductions); chunk_counts: static tuple, chunks per object.
     Returns (t_shared, u, v, tri (pool row), obj slot, attr (15, N));
     tri/obj are -1 where no hit.
     """
     Tsum_pad = attrs.shape[0]
     O = boxes.shape[0]
-    n = rays.shape[1]
+    n = dir4.shape[1]
     n_pad = _round_up(n, NB)
     pad = n_pad - n
     consts = jnp.concatenate(
         [chunk_interleave(consts[:3 * Tsum_pad], Tsum_pad, 3, TC),
          consts[3 * Tsum_pad:]], axis=0)
-    rays_p = jnp.pad(rays, ((0, 0), (0, pad)), constant_values=1.0)
-    d_os = jnp.stack([rays_p[ROWS_SH * g:ROWS_SH * g + 3] for g in range(O)])
-    o_os = jnp.stack([rays_p[ROWS_SH * g + 4:ROWS_SH * g + 7] for g in range(O)])
-    s_os = jnp.stack([rays_p[ROWS_SH * g + 3] for g in range(O)])
+    dir4_p = jnp.pad(dir4, ((0, 0), (0, pad)), constant_values=1.0)
+    d_p = jnp.pad(d_os, ((0, 0), (0, 0), (0, pad)), constant_values=1.0)
+    o_p = jnp.pad(o_os, ((0, 0), (0, 0), (0, pad)))
+    s_p = jnp.pad(s_os, ((0, 0), (0, pad)), constant_values=1.0)
     order, minds, counts = live_chunk_lists_multi(spheres, chunk_counts,
-                                                  d_os, o_os, s_os)
+                                                  d_p, o_p, s_p)
     chunk_obj = sum(((g,) * c for g, c in enumerate(chunk_counts)), ())
     cobj = jnp.asarray(chunk_obj, jnp.int32)[None, None, :]
 
@@ -229,9 +293,10 @@ def batched_nearest_shared(consts, attrs, spheres, boxes, rays,
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, C), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((O, 9), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((O, MAT_COLS), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((consts.shape[0], 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Tsum_pad, N_ATTR), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS_SH * O, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(out_vec, out_vec, out_vec, out_vec, out_vec,
                    pl.BlockSpec((N_ATTR, NB), lambda i: (0, i), memory_space=pltpu.VMEM)),
@@ -243,18 +308,20 @@ def batched_nearest_shared(consts, attrs, spheres, boxes, rays,
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((N_ATTR, n_pad), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((ROWS_SH * O, NB), jnp.float32)],
         interpret=interpret,
-    )(order, minds, counts, cobj, boxes, consts, attrs, rays_p)
+    )(order, minds, counts, cobj, boxes, mats, consts, attrs, dir4_p)
     return (bt[0, :n], bu[0, :n], bv[0, :n], btri[0, :n], bobj[0, :n],
             battr[:, :n])
 
 
 def _general_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
-                          cols_ref, rays_ref, tmax_ref, t_ref,
-                          *, O: int, Tsum_pad: int):
+                          mats_ref, cols_ref, o4_ref, dir4_ref, tmax_ref,
+                          t_ref, rays_ref, *, O: int, Tsum_pad: int):
     nb = NB
     n_live = count_ref[0, 0, 0]
     tmax = tmax_ref[0, :]
+    _fill_ray_scratch(mats_ref, dir4_ref[:], o4_ref[:], rays_ref, ROWS_GEN, O)
 
     # Per-lane walk bound: min(tmax, max over objects of that object's
     # chunk-union-box exit in SHARED units) -- see _general_kernel. Disabled
@@ -310,31 +377,36 @@ def _general_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_counts", "enabled", "interpret"))
-def batched_min_t_general(cols, spheres, rays, tmax, chunk_counts: tuple,
+def batched_min_t_general(cols, spheres, mats, origins4, dir4,
+                          d_os, o_os, s_os, tmax, chunk_counts: tuple,
                           enabled: tuple = None, valid=None, interpret=False):
     """Min SHARED-parameter hit over all mesh objects, per-ray origins.
 
     cols: (4*Tsum_pad, 10) factor-grouped pool; spheres: (C, 4);
-    rays: (16*O, N) rows [r10(10), s(1), 0(5)] per object; tmax: (N,)
-    shared-parameter search bound (0 = masked lane); chunk_counts: static
-    tuple, chunks per object; enabled: static bool tuple (False = object
-    excluded, e.g. the light itself); valid: optional (N,) bool for the
-    culling cones. Returns (N,) min(t_shared, tmax).
+    mats: (O, MAT_COLS) per-object transform table (r10 built IN-KERNEL);
+    origins4/dir4: (4, N) camera-frame 4-origins/4-dirs; d_os/o_os/s_os:
+    (O, 3|3|-, N) per-object quantities for the live-list pass only;
+    tmax: (N,) shared-parameter search bound (0 = masked lane);
+    chunk_counts: static tuple, chunks per object; enabled: static bool
+    tuple (False = object excluded, e.g. the light itself); valid:
+    optional (N,) bool for the culling cones.
+    Returns (N,) min(t_shared, tmax).
     """
     Tsum_pad = cols.shape[0] // 4
-    O = rays.shape[0] // ROWS_GEN
-    n = rays.shape[1]
+    O = mats.shape[0]
+    n = dir4.shape[1]
     n_pad = _round_up(n, NB)
     pad = n_pad - n
     cols = chunk_interleave(cols, Tsum_pad, 4, TC)
-    rays_p = jnp.pad(rays, ((0, 0), (0, pad)), constant_values=1.0)
+    dir4_p = jnp.pad(dir4, ((0, 0), (0, pad)), constant_values=1.0)
+    o4_p = jnp.pad(origins4, ((0, 0), (0, pad)))
     tmax_p = jnp.pad(tmax, (0, pad))[None, :]
     valid_p = None if valid is None else jnp.pad(valid, (0, pad))
-    d_os = jnp.stack([rays_p[ROWS_GEN * g:ROWS_GEN * g + 3] for g in range(O)])
-    o_os = jnp.stack([rays_p[ROWS_GEN * g + 6:ROWS_GEN * g + 9] for g in range(O)])
-    s_os = jnp.stack([rays_p[ROWS_GEN * g + 10] for g in range(O)])
+    d_p = jnp.pad(d_os, ((0, 0), (0, 0), (0, pad)), constant_values=1.0)
+    o_p = jnp.pad(o_os, ((0, 0), (0, 0), (0, pad)))
+    s_p = jnp.pad(s_os, ((0, 0), (0, pad)), constant_values=1.0)
     order, minds, counts = live_chunk_lists_multi(
-        spheres, chunk_counts, d_os, o_os, s_os, valid=valid_p, enabled=enabled)
+        spheres, chunk_counts, d_p, o_p, s_p, valid=valid_p, enabled=enabled)
     chunk_obj = sum(((g,) * c for g, c in enumerate(chunk_counts)), ())
     cobj = jnp.asarray(chunk_obj, jnp.int32)[None, None, :]
     # Per-object chunk-union boxes (object space); disabled objects get an
@@ -363,12 +435,15 @@ def batched_min_t_general(cols, spheres, rays, tmax, chunk_counts: tuple,
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, C), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((O, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((O, MAT_COLS), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((cols.shape[0], 10), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS_GEN * O, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((ROWS_GEN * O, NB), jnp.float32)],
         interpret=interpret,
-    )(order, minds, counts, cobj, boxes, cols, rays_p, tmax_p)
+    )(order, minds, counts, cobj, boxes, mats, cols, o4_p, dir4_p, tmax_p)
     return bt[0, :n]
