@@ -170,3 +170,38 @@ def test_interpret_batched_many_instances(tmp_path):
     diff = np.abs(ref - got)
     assert diff.mean() < 1e-4
     assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.002
+
+
+def test_interpret_windowed_texture_kernel_exact():
+    """footprint_sample_windowed vs the jnp reference sampler at the kernel
+    level: multi-window row spreads, window clamping at the table end, and
+    the 16-rows-per-DMA-row packing must reproduce the gather exactly (the
+    fetch is a pure select; only the final bilinear mix may differ by fp
+    association, well under 1e-5)."""
+    import jax.numpy as jnp
+
+    from relativitypathtracer_tpu.ops.pallas.texture_kernel import (
+        W_ROWS, footprint_sample_windowed)
+    from relativitypathtracer_tpu.ops.texture_sample import (
+        bilinear_sample_footprint)
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    w, h = 224, 240  # box.jpg-like block-tiled region
+    wb = w // 16
+    rows = (wb * (h // 16) * 256) * 4 // 8
+    assert rows > 3 * W_ROWS  # forces multi-window walks
+    quads = jnp.asarray(rng.integers(0, 2 ** 24, (rows, 8), dtype=np.uint32))
+    fp = jnp.asarray(np.broadcast_to(
+        np.array([0, 0, 0, wb, w, h], np.int32)[:, None], (6, n)))
+    wa = jnp.full((n,), w, jnp.int32)
+    ha = jnp.full((n,), h, jnp.int32)
+    # Mix coherent blocks (single window), scattered blocks (many windows),
+    # and uv at the table-end clamp region.
+    uv = rng.random((2, n)).astype(np.float32)
+    uv[:, :1024] = (0.02 + 0.03 * rng.random((2, 1024))).astype(np.float32)
+    uv[1, 1024:2048] = 0.001  # v ~ 1-eps row -> last atlas rows
+    ref = np.asarray(bilinear_sample_footprint(quads, fp, wa, ha, jnp.asarray(uv)))
+    got = np.asarray(footprint_sample_windowed(
+        quads, fp, wa, ha, jnp.asarray(uv), interpret=True))
+    assert np.abs(ref - got).max() < 1e-5
