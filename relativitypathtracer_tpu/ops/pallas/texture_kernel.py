@@ -259,7 +259,7 @@ def footprint_sample_windowed(quads, fp, width, height, uv, interpret=False):
         kernel,
         grid=(n_pad // NB,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((6, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
