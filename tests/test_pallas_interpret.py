@@ -205,3 +205,71 @@ def test_interpret_windowed_texture_kernel_exact():
     got = np.asarray(footprint_sample_windowed(
         quads, fp, wa, ha, jnp.asarray(uv), interpret=True))
     assert np.abs(ref - got).max() < 1e-5
+
+
+def test_live_objects_culling_is_conservative():
+    """Property: an object whose jnp-path intersection reports ANY hit in a
+    block must appear in that block's live list (the conservative cone
+    transform may over-include, never exclude). Random boosted objects and
+    random camera dirs probe the Frobenius-norm angle inflation."""
+    import jax.numpy as jnp
+
+    from relativitypathtracer_tpu.ops.intersect import cube_intersect, sphere_intersect
+    from relativitypathtracer_tpu.ops.pallas.analytic_kernels import (
+        NB, live_objects, pack_analytic_params)
+    from relativitypathtracer_tpu.ops.relmath import inverse4, lorentz, trs
+
+    rng = np.random.default_rng(5)
+    O, n_blocks = 12, 4
+    n = NB * n_blocks
+    kinds = rng.integers(0, 2, O)  # 0 sphere, 1 cube
+    m4s, inv_m4s, Ls = [], [], []
+    for _ in range(O):
+        pos = rng.uniform(-6, 6, 3); pos[2] = rng.uniform(3, 14)
+        ang = rng.uniform(0, 3.1)
+        axis = rng.normal(size=3)
+        scale = rng.uniform(0.2, 1.5, 3)
+        m = trs(jnp.asarray(pos, jnp.float32), float(ang),
+                jnp.asarray(axis, jnp.float32),
+                jnp.asarray(scale, jnp.float32))
+        v = rng.uniform(-0.6, 0.6, 3) * rng.uniform(0, 1)
+        m4s.append(m); inv_m4s.append(inverse4(m))
+        Ls.append(lorentz(jnp.asarray(v, jnp.float32)))
+    m4s = jnp.stack(m4s); inv_m = jnp.stack(inv_m4s); L = jnp.stack(Ls)
+    stat_cam = jnp.einsum("oij,j->oi", L, jnp.zeros((4,)))
+
+    # Blocks of coherent dirs (tile-like cones)
+    d = []
+    for b in range(n_blocks):
+        c = rng.normal(size=3); c[2] = abs(c[2]) + 1.0; c /= np.linalg.norm(c)
+        jitter = rng.normal(size=(3, NB)) * 0.08
+        db = c[:, None] + jitter
+        d.append(db / np.linalg.norm(db, axis=0))
+    d3 = jnp.asarray(np.concatenate(d, axis=1), jnp.float32)
+    interval = -1
+    dir4 = jnp.concatenate([jnp.full((1, n), float(interval)), d3], axis=0)
+
+    sph_ids = tuple(int(i) for i in np.nonzero(kinds == 0)[0])
+    cub_ids = tuple(int(i) for i in np.nonzero(kinds == 1)[0])
+    params = pack_analytic_params(L, inv_m, stat_cam, sph_ids + cub_ids)
+
+    for ids, rs, fn, base in (
+        (sph_ids, 1.0, sphere_intersect, 0),
+        (cub_ids, 3.0 ** 0.5, cube_intersect, len(sph_ids)),
+    ):
+        if not ids:
+            continue
+        g = len(ids)
+        order, _, counts = live_objects(
+            params[base:base + g], jnp.full((g,), rs), dir4, interval)
+        live = np.zeros((n_blocks, g), bool)
+        for b in range(n_blocks):
+            for j in range(int(counts[b, 0, 0])):
+                live[b, int(order[b, 0, j])] = True
+        for slot, i in enumerate(ids):
+            d4 = L[i] @ dir4
+            t, _, _, _ = fn(inv_m[i], stat_cam[i, 1:4], d4[1:4])
+            hits = np.asarray(t < 1e19).reshape(n_blocks, NB).any(axis=1)
+            missed = hits & ~live[:, slot]
+            assert not missed.any(), (
+                f"object {i} hit in blocks {np.nonzero(missed)[0]} but culled")
