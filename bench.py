@@ -100,18 +100,31 @@ def main():
         f"({base['threads']} thread(s))")
 
     log(f"measuring TPU renderer ({jax.default_backend()})...")
-    ms, shadow_rays = measure_ours(scene, meta)
+    # The axon relay occasionally drops a request mid-run; one retry keeps a
+    # transient hiccup from costing the round's benchmark artifact.
+    try:
+        ms, shadow_rays = measure_ours(scene, meta)
+    except Exception as e:  # noqa: BLE001 - relay transients
+        log(f"measure attempt 1 failed ({type(e).__name__}: {e}); retrying")
+        time.sleep(10)
+        ms, shadow_rays = measure_ours(scene, meta)
     rays = W * H + shadow_rays
     mrays = rays / (ms * 1e3)
     log(f"ours: {ms:.2f} ms/frame, {mrays:.2f} Mrays/s ({shadow_rays} shadow rays)")
 
     # Full-resolution oracle parity (README's >99.8%-within-1e-3 claim),
-    # enforced on the real backend every round.
+    # enforced on the real backend every round. Failures degrade to an error
+    # field rather than losing the benchmark line.
     from relativitypathtracer_tpu.utils.parity import fullres_parity
 
     parity = {}
     for scene_name in ("bunny", "shadows"):
-        res = fullres_parity(scene_name, W, H)
+        try:
+            res = fullres_parity(scene_name, W, H)
+        except Exception as e:  # noqa: BLE001
+            log(f"full-res parity {scene_name} errored: {e}")
+            parity[f"{scene_name}_error"] = str(e)[:120]
+            continue
         log(f"full-res parity {scene_name}: frac>1e-3 = {res['frac_bad']:.5f} "
             f"(ok={res['ok']})")
         parity[scene_name] = res["frac_bad"]
