@@ -152,6 +152,65 @@ def live_objects(params, rs, dir4_p, interval):
     return bucket_order(mind.T, overlap.T)  # (B, G) per-block lists
 
 
+def live_objects_general(params, rs, dir4_p, o4_p, tmax_p, interval):
+    """Per-block live-object lists for per-ray-origin (shadow) rays.
+
+    Like live_objects, but the apex is the block's (camera-frame) origin
+    centroid mapped through each object's affine transform, with the
+    bounding radius inflated by the origin spread times |A|_F; lanes with
+    tmax == 0 (masked-irrelevant, possibly garbage rays) are excluded from
+    the cone statistics. Floors are camera-t lower bounds as in
+    live_objects.
+    """
+    from .mesh_kernels import bucket_order
+
+    G = rs.shape[0]
+    A = params[:G, 0:12].reshape(G, 3, 4)
+    a_t = A[:, :, 0]
+    A3 = A[:, :, 1:4]
+    b = params[:G, 12:15]
+    fro = jnp.sqrt(jnp.sum(A3 * A3, axis=(1, 2)))
+    froA = jnp.sqrt(jnp.sum(A * A, axis=(1, 2)))  # bounds the 4-origin map
+    at_n = jnp.sqrt(jnp.sum(a_t * a_t, axis=1)) * abs(float(interval))
+
+    n_blocks = dir4_p.shape[1] // NB
+    d3 = dir4_p[1:4].reshape(3, n_blocks, NB)
+    o4 = o4_p.reshape(4, n_blocks, NB)
+    v = (tmax_p > 0.0).reshape(1, n_blocks, NB)
+    nv = jnp.maximum(jnp.sum(v, axis=2, keepdims=True), 1)
+    d_mean = jnp.sum(jnp.where(v, d3, 0.0), axis=2, keepdims=True) / nv
+    o_mean = jnp.sum(jnp.where(v, o4, 0.0), axis=2, keepdims=True) / nv
+    d3 = jnp.where(v, d3, d_mean)
+    o4 = jnp.where(v, o4, o_mean)
+
+    axis = d_mean[:, :, 0] / jnp.maximum(
+        jnp.sqrt(jnp.sum(d_mean[:, :, 0] ** 2, axis=0)), 1e-12)  # (3, B)
+    cos_a = jnp.min(jnp.sum(d3 * axis[:, :, None], axis=0), axis=1)
+    half = jnp.sqrt(jnp.maximum((1.0 - cos_a) / 2.0, 0.0))
+    oc = o_mean[:, :, 0]  # (4, B)
+    spread4 = jnp.sqrt(jnp.max(jnp.sum((o4 - o_mean) ** 2, axis=0), axis=1))
+
+    d_c = jnp.einsum("gij,jb->gib", A3, axis) + float(interval) * a_t[:, :, None]
+    nc = jnp.sqrt(jnp.sum(d_c * d_c, axis=1))
+    dev = fro[:, None] * (2.0 * half[None, :])
+    full = dev >= nc - 1e-12
+    sin_t = jnp.where(full, 1.0, jnp.clip(dev / jnp.maximum(nc - dev, 1e-12), 0.0, 1.0))
+    cos_t = jnp.where(full, -1.0, jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 0.0)))
+
+    center = jnp.einsum("gij,jb->gib", A, oc) + b[:, :, None]  # (G, 3, B)
+    dlen = jnp.sqrt(jnp.sum(center * center, axis=1))  # (G, B)
+    r_eff = rs[:, None] + froA[:, None] * spread4[None, :]
+    cos_d = jnp.sum(-center * d_c, axis=1) / jnp.maximum(dlen * nc, 1e-12)
+    sin_b = jnp.minimum(r_eff / jnp.maximum(dlen, 1e-12), 1.0)
+    cos_b = jnp.sqrt(jnp.maximum(1.0 - sin_b * sin_b, 0.0))
+    sin_tt = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    overlap = ((dlen <= r_eff) | (cos_b <= -cos_t)
+               | (cos_d >= cos_t * cos_b - sin_tt * sin_b))
+    mind = (jnp.maximum(dlen - r_eff, 0.0)
+            / jnp.maximum(fro + at_n, 1e-12)[:, None])
+    return bucket_order(mind.T, overlap.T)
+
+
 def _affine_rows(p_ref, g, vec4, with_b: bool):
     """A @ vec4 (+ b) with scalar-broadcast FMAs. vec4: (4, NB) VMEM value."""
     out = []
@@ -383,10 +442,14 @@ def analytic_nearest_shared(params, dir4, n_spheres: int, n_cubes: int,
     return t[0, :n], nrm[:, :n], uv, obj[0, :n]
 
 
-def _min_t_kernel(p_ref, o4_ref, dir4_ref, t_ref, *, n_spheres: int, n_cubes: int):
-    """Min hit parameter over all objects, per-ray origins (shadow rays)."""
+def _min_t_kernel(os_ref, ms_ref, cs_ref, oc_ref, mc_ref, cc_ref,
+                  p_ref, o4_ref, dir4_ref, tmax_ref, t_ref,
+                  *, n_spheres: int, n_cubes: int):
+    """Min hit parameter over this block's LIVE objects (shadow rays), with
+    the same tmax-bounded early termination as the mesh shadow kernels."""
     o4 = o4_ref[:]  # (4, NB)
     dir4 = dir4_ref[:]
+    tmax = tmax_ref[0, :]
     nb = dir4.shape[1]
 
     def obj_step(g, is_sphere: bool, best_t):
@@ -401,42 +464,89 @@ def _min_t_kernel(p_ref, o4_ref, dir4_ref, t_ref, *, n_spheres: int, n_cubes: in
         t = jnp.where(valid, dist / scale, INF)
         return jnp.minimum(best_t, t)
 
+    def walk(o_ref, m_ref, c_ref, is_sphere: bool, offset: int, best_t):
+        n_live = c_ref[0, 0, 0]
+
+        def cond(st):
+            j, mb = st[0], st[1]
+            return (j < n_live) & (m_ref[0, 0, o_ref[0, 0, j]] < mb)
+
+        def body(st):
+            j, mb, bt = st
+            g = o_ref[0, 0, j] + offset
+            bt = obj_step(g, is_sphere, bt)
+            return j + 1, jnp.max(jnp.minimum(bt, tmax)), bt
+
+        st = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.max(tmax), best_t))
+        return st[2]
+
     best_t = jnp.full((nb,), INF, jnp.float32)
     if n_spheres:
-        best_t = jax.lax.fori_loop(
-            0, n_spheres, lambda g, s: obj_step(g, True, s), best_t)
+        best_t = walk(os_ref, ms_ref, cs_ref, True, 0, best_t)
     if n_cubes:
-        best_t = jax.lax.fori_loop(
-            n_spheres, n_spheres + n_cubes, lambda g, s: obj_step(g, False, s), best_t)
+        best_t = walk(oc_ref, mc_ref, cc_ref, False, n_spheres, best_t)
     t_ref[0, :] = best_t
 
 
-@functools.partial(jax.jit, static_argnames=("n_spheres", "n_cubes", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_spheres", "n_cubes",
+                                             "interval", "interpret"))
 def analytic_min_t_general(params, origins4, dir4, n_spheres: int, n_cubes: int,
-                           interpret: bool = False):
+                           interval: int, tmax=None, interpret: bool = False):
     """Min hit parameter over spheres+cubes for per-ray-origin (shadow) rays.
 
     params from pack_analytic_params_general (exclude the light by omitting
-    its row -- exclusion is static per light loop). origins4/dir4: (4, N).
-    Returns (N,) f32 min t (INF where nothing hit).
+    its row -- exclusion is static per light loop). origins4/dir4: (4, N);
+    tmax: optional (N,) search bound in the shared ray parameter (0 = masked
+    lane) -- enables per-block object culling + early termination. The
+    result is min(nearest hit, INF) as before; hits beyond tmax may be
+    reported as any value >= tmax (callers only test t < tmax).
+    Returns (N,) f32.
     """
     n = dir4.shape[1]
     n_pad = _round_up(n, NB)
     dir4_p = jnp.pad(dir4, ((0, 0), (0, n_pad - n)), constant_values=1.0)
     o4_p = jnp.pad(origins4, ((0, 0), (0, n_pad - n)))
+    if tmax is None:
+        tmax = jnp.full((n,), INF, jnp.float32)
+    tmax_p = jnp.pad(tmax, (0, n_pad - n))[None, :]
+
+    n_blocks = n_pad // NB
+    dummy = (jnp.zeros((n_blocks, 1, 1), jnp.int32),
+             jnp.zeros((n_blocks, 1, 1), jnp.float32),
+             jnp.zeros((n_blocks, 1, 1), jnp.int32))
+    if n_spheres:
+        os_, ms_, cs_ = live_objects_general(
+            params[:n_spheres], jnp.ones((n_spheres,)), dir4_p, o4_p,
+            tmax_p[0], interval)
+    else:
+        os_, ms_, cs_ = dummy
+    if n_cubes:
+        oc_, mc_, cc_ = live_objects_general(
+            params[n_spheres:n_spheres + n_cubes],
+            jnp.full((n_cubes,), 3.0 ** 0.5), dir4_p, o4_p, tmax_p[0], interval)
+    else:
+        oc_, mc_, cc_ = dummy
+
+    def smem3(a):
+        return pl.BlockSpec((1, 1, a.shape[2]), lambda i: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
 
     kernel = functools.partial(_min_t_kernel, n_spheres=n_spheres, n_cubes=n_cubes)
     t = pl.pallas_call(
         kernel,
-        grid=(n_pad // NB,),
+        grid=(n_blocks,),
         in_specs=[
+            smem3(os_), smem3(ms_), smem3(cs_),
+            smem3(oc_), smem3(mc_), smem3(cc_),
             pl.BlockSpec((params.shape[0], PARAM_COLS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((4, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         interpret=interpret,
-    )(params, o4_p, dir4_p)
+    )(os_, ms_, cs_, oc_, mc_, cc_, params, o4_p, dir4_p, tmax_p)
     return t[0, :n]

@@ -220,7 +220,7 @@ def scene_min_t(scene: Scene, meta: SceneMeta, L, origins4, dir3, interval: int,
 
         params = pack_analytic_params_general(L, objects.inv_m, sph + cub)
         t = analytic_min_t_general(params, origins4, dir4, len(sph), len(cub),
-                                   interpret=interp)
+                                   interval, tmax=tmax, interpret=interp)
         best = jnp.minimum(best, t)
     else:
         for fn, ids_all in ((sphere_intersect, sph), (cube_intersect, cub)):
