@@ -56,6 +56,9 @@ NB = 1024  # rays per block (matches the mesh kernels' screen-tile blocks)
 #   [15:24) NT  -- inv_m[:3,:3]^T row-major (normal transform)
 #   [24]    id  -- global object index (float; exact for O < 2^24)
 PARAM_COLS = 32
+# Live-list culling pays a per-block list build + SMEM walk; below this many
+# objects of a kind, a plain static loop is cheaper than the machinery.
+CULL_MIN_OBJECTS = 5
 
 
 def _round_up(x: int, m: int) -> int:
@@ -347,10 +350,18 @@ def _nearest_kernel(os_ref, ms_ref, cs_ref, oc_ref, mc_ref, cc_ref,
         [jnp.zeros((nb,), jnp.float32) for _ in range(3)],
         [jnp.zeros((nb,), jnp.float32) for _ in range(3)],
     )
-    # Static specialization: a scene with no spheres emits no sphere code.
-    if n_spheres:
+    # Static specialization: a scene with no spheres emits no sphere code,
+    # and below CULL_MIN_OBJECTS the plain loop beats the list machinery.
+    if 0 < n_spheres < CULL_MIN_OBJECTS:
+        state = jax.lax.fori_loop(
+            0, n_spheres, lambda g, s: obj_step(g, True, s), state)
+    elif n_spheres:
         state = walk(os_ref, ms_ref, cs_ref, True, 0, state)
-    if n_cubes:
+    if 0 < n_cubes < CULL_MIN_OBJECTS:
+        state = jax.lax.fori_loop(
+            n_spheres, n_spheres + n_cubes,
+            lambda g, s: obj_step(g, False, s), state)
+    elif n_cubes:
         state = walk(oc_ref, mc_ref, cc_ref, False, n_spheres, state)
 
     best_t, best_obj, best_kind, best_n, best_s3 = state
@@ -398,12 +409,12 @@ def analytic_nearest_shared(params, dir4, n_spheres: int, n_cubes: int,
     dummy = (jnp.zeros((n_blocks, 1, 1), jnp.int32),
              jnp.zeros((n_blocks, 1, 1), jnp.float32),
              jnp.zeros((n_blocks, 1, 1), jnp.int32))
-    if n_spheres:
+    if n_spheres >= CULL_MIN_OBJECTS:
         os_, ms_, cs_ = live_objects(
             params[:n_spheres], jnp.ones((n_spheres,)), dir4_p, interval)
     else:
         os_, ms_, cs_ = dummy
-    if n_cubes:
+    if n_cubes >= CULL_MIN_OBJECTS:
         oc_, mc_, cc_ = live_objects(
             params[n_spheres:n_spheres + n_cubes],
             jnp.full((n_cubes,), 3.0 ** 0.5), dir4_p, interval)
@@ -482,9 +493,16 @@ def _min_t_kernel(os_ref, ms_ref, cs_ref, oc_ref, mc_ref, cc_ref,
         return st[2]
 
     best_t = jnp.full((nb,), INF, jnp.float32)
-    if n_spheres:
+    if 0 < n_spheres < CULL_MIN_OBJECTS:
+        best_t = jax.lax.fori_loop(
+            0, n_spheres, lambda g, s: obj_step(g, True, s), best_t)
+    elif n_spheres:
         best_t = walk(os_ref, ms_ref, cs_ref, True, 0, best_t)
-    if n_cubes:
+    if 0 < n_cubes < CULL_MIN_OBJECTS:
+        best_t = jax.lax.fori_loop(
+            n_spheres, n_spheres + n_cubes,
+            lambda g, s: obj_step(g, False, s), best_t)
+    elif n_cubes:
         best_t = walk(oc_ref, mc_ref, cc_ref, False, n_spheres, best_t)
     t_ref[0, :] = best_t
 
@@ -515,13 +533,13 @@ def analytic_min_t_general(params, origins4, dir4, n_spheres: int, n_cubes: int,
     dummy = (jnp.zeros((n_blocks, 1, 1), jnp.int32),
              jnp.zeros((n_blocks, 1, 1), jnp.float32),
              jnp.zeros((n_blocks, 1, 1), jnp.int32))
-    if n_spheres:
+    if n_spheres >= CULL_MIN_OBJECTS:
         os_, ms_, cs_ = live_objects_general(
             params[:n_spheres], jnp.ones((n_spheres,)), dir4_p, o4_p,
             tmax_p[0], interval)
     else:
         os_, ms_, cs_ = dummy
-    if n_cubes:
+    if n_cubes >= CULL_MIN_OBJECTS:
         oc_, mc_, cc_ = live_objects_general(
             params[n_spheres:n_spheres + n_cubes],
             jnp.full((n_cubes,), 3.0 ** 0.5), dir4_p, o4_p, tmax_p[0], interval)
