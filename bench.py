@@ -25,7 +25,8 @@ import time
 REPO = pathlib.Path(__file__).resolve().parent
 REF = pathlib.Path(os.environ.get("REF_ASSETS", "/root/reference"))
 W, H = 1024, 768
-FRAMES = 30
+BATCH = 12     # frames chained per timing sample (relay RTT amortized out)
+NBATCH = 10    # samples -> 120 frames total (BASELINE.md: >= 100 frames)
 BASELINE_CACHE = REPO / "BASELINE_MEASURED.json"
 
 
@@ -33,7 +34,24 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _percentile(sorted_vals, q):
+    """Linear-interpolated percentile of an ascending list (q in [0, 100])."""
+    n = len(sorted_vals)
+    pos = (n - 1) * q / 100.0
+    lo = int(pos)
+    hi = min(lo + 1, n - 1)
+    return sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * (pos - lo)
+
+
 def measure_ours(scene, meta):
+    """BASELINE.md protocol: p50/p95 frame time over >= 100 frames.
+
+    The axon relay makes block_until_ready() a no-op and adds a round trip to
+    every scalar fetch, so individual frame times are unmeasurable; instead
+    NBATCH samples of BATCH chained frames each are timed (one tiny fetch per
+    sample, measured RTT subtracted) and the percentiles are taken over the
+    per-batch per-frame means -- the honest estimator this transport allows.
+    """
     import jax.numpy as jnp
 
     from relativitypathtracer_tpu.render import FrameState, build_render_fn
@@ -43,15 +61,22 @@ def measure_ours(scene, meta):
     img, aux = render(scene, state)
     shadow_rays = int(aux["shadow_rays"])
     _ = float(jnp.sum(img))  # settle compile + queue
+    rtt = min(_time_fetch(jnp, img) for _ in range(3))
+    samples = []
+    for _b in range(NBATCH):
+        t0 = time.perf_counter()
+        for _i in range(BATCH):
+            img, aux = render(scene, state)
+        _ = float(jnp.sum(img))
+        samples.append(max(time.perf_counter() - t0 - rtt, 1e-9) / BATCH * 1e3)
+    samples.sort()
+    return _percentile(samples, 50), _percentile(samples, 95), shadow_rays
+
+
+def _time_fetch(jnp, img):
     t0 = time.perf_counter()
     _ = float(jnp.sum(img))
-    rtt = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _i in range(FRAMES):
-        img, aux = render(scene, state)
-    _ = float(jnp.sum(img))
-    per_frame_ms = (time.perf_counter() - t0 - rtt) / FRAMES * 1e3
-    return per_frame_ms, shadow_rays
+    return time.perf_counter() - t0
 
 
 def measure_baseline(scene, meta):
@@ -103,39 +128,57 @@ def main():
     # The axon relay occasionally drops a request mid-run; one retry keeps a
     # transient hiccup from costing the round's benchmark artifact.
     try:
-        ms, shadow_rays = measure_ours(scene, meta)
-    except Exception as e:  # noqa: BLE001 - relay transients
-        log(f"measure attempt 1 failed ({type(e).__name__}: {e}); retrying")
+        p50, p95, shadow_rays = measure_ours(scene, meta)
+    except Exception:  # noqa: BLE001 - relay transients
+        # Full traceback first: a deterministic renderer bug retried here
+        # would otherwise masquerade as a transient.
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        log("measure attempt 1 failed (traceback above); retrying once")
         time.sleep(10)
-        ms, shadow_rays = measure_ours(scene, meta)
+        p50, p95, shadow_rays = measure_ours(scene, meta)
     rays = W * H + shadow_rays
-    mrays = rays / (ms * 1e3)
-    log(f"ours: {ms:.2f} ms/frame, {mrays:.2f} Mrays/s ({shadow_rays} shadow rays)")
+    mrays = rays / (p50 * 1e3)
+    log(f"ours: {p50:.2f} ms/frame p50, {p95:.2f} p95 over {BATCH * NBATCH} "
+        f"frames, {mrays:.2f} Mrays/s ({shadow_rays} shadow rays)")
 
     # Full-resolution oracle parity (README's >99.8%-within-1e-3 claim),
-    # enforced on the real backend every round. Failures degrade to an error
-    # field rather than losing the benchmark line.
+    # enforced on the real backend every round, including one boosted /
+    # advanced-time state (the full per-frame boost chain at production
+    # resolution). Failures degrade to an error field rather than losing the
+    # benchmark line.
+    from relativitypathtracer_tpu.render import FrameState
     from relativitypathtracer_tpu.utils.parity import fullres_parity
 
+    import jax.numpy as jnp
+
+    boosted = FrameState(
+        cam_velocity=jnp.array([0.3, 0.1, -0.2], jnp.float32),
+        cam_pos=jnp.array([2.5, 0, 0, 0], jnp.float32),
+    )
+    cases = (("bunny", "bunny", None), ("shadows", "shadows", None),
+             ("rulers", "rulers_boosted", boosted))
     parity = {}
-    for scene_name in ("bunny", "shadows"):
+    for scene_name, tag, state in cases:
         try:
-            res = fullres_parity(scene_name, W, H)
+            res = fullres_parity(scene_name, W, H, state=state, tag=tag)
         except Exception as e:  # noqa: BLE001
-            log(f"full-res parity {scene_name} errored: {e}")
-            parity[f"{scene_name}_error"] = str(e)[:120]
+            log(f"full-res parity {tag} errored: {e}")
+            parity[f"{tag}_error"] = str(e)[:120]
             continue
-        log(f"full-res parity {scene_name}: frac>1e-3 = {res['frac_bad']:.5f} "
+        log(f"full-res parity {tag}: frac>1e-3 = {res['frac_bad']:.5f} "
             f"(ok={res['ok']})")
-        parity[scene_name] = res["frac_bad"]
-        parity[f"{scene_name}_ok"] = res["ok"]
+        parity[tag] = res["frac_bad"]
+        parity[f"{tag}_ok"] = res["ok"]
 
     print(json.dumps({
         "metric": "total Mrays/s, bunny.txt 1024x768 (primary+shadow), p50",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / base_mrays, 3),
-        "frame_ms_p50": round(ms, 3),
+        "frame_ms_p50": round(p50, 3),
+        "frame_ms_p95": round(p95, 3),
+        "frames_timed": BATCH * NBATCH,
         "baseline_frame_ms_p50": base["p50_ms"],
         "baseline_mrays": round(base_mrays, 3),
         "fullres_parity_frac_gt_1e3": parity,

@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mesh_kernels import (
     INF, NB, TC, N_ATTR, _cone_cull, _mask_invalid_lanes, _mt_mask,
-    _round_up, bucket_order, chunk_interleave,
+    _round_up, _safe_inv, bucket_order, chunk_interleave,
 )
 
 ROWS_SH = 8   # scratch rows per object, shared kernel: [dh(3), s(1), pad(4)]
@@ -171,7 +171,7 @@ def _shared_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
         far = jnp.full((nb,), INF, jnp.float32)
         near = jnp.full((nb,), -INF, jnp.float32)
         for ax in range(3):
-            inv = 1.0 / dh[ax]
+            inv = _safe_inv(dh[ax])
             t0 = (box_ref[g, ax] - box_ref[g, 6 + ax]) * inv
             t1 = (box_ref[g, 3 + ax] - box_ref[g, 6 + ax]) * inv
             near = jnp.maximum(near, jnp.minimum(t0, t1))
@@ -332,7 +332,7 @@ def _general_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
         far = jnp.full((nb,), INF, jnp.float32)
         near = jnp.full((nb,), -INF, jnp.float32)
         for ax in range(3):
-            inv = 1.0 / blk[ax]
+            inv = _safe_inv(blk[ax])
             t0 = (box_ref[g, ax] - blk[6 + ax]) * inv
             t1 = (box_ref[g, 3 + ax] - blk[6 + ax]) * inv
             near = jnp.maximum(near, jnp.minimum(t0, t1))

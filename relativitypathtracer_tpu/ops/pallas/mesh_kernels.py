@@ -51,6 +51,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _safe_inv(d):
+    """NaN-safe reciprocal for slab tests: a lane whose origin sits exactly on
+    a box plane while the direction is parallel to that axis would compute
+    0 * inf = NaN, turning hits_box False and the walk bound 0 (real
+    occluders skipped). Clamping |d| to 1e-12 keeps t0/t1 finite (huge), so
+    degenerate axes fall back to the unbounded behavior."""
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                           jnp.where(d < 0, -1e-12, 1e-12), d)
+
+
 def chunk_spheres(A, B, C, T, T_pad, tc=TC):
     """Bounding sphere per tc-triangle chunk: (n_chunks, 4) cx cy cz r.
     Padding triangles collapse onto the last real vertex (harmless)."""
@@ -228,7 +238,7 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
     far = jnp.full((nb,), INF, jnp.float32)
     near = jnp.full((nb,), -INF, jnp.float32)
     for ax in range(3):
-        inv = 1.0 / dh[ax]
+        inv = _safe_inv(dh[ax])
         t0 = (box_ref[0, ax] - box_ref[0, 6 + ax]) * inv
         t1 = (box_ref[0, 3 + ax] - box_ref[0, 6 + ax]) * inv
         near = jnp.maximum(near, jnp.minimum(t0, t1))
@@ -376,7 +386,7 @@ def _general_kernel(order_ref, minds_ref, count_ref, box_ref, cols_ref,
     far = jnp.full((nb,), INF, jnp.float32)
     near = jnp.full((nb,), -INF, jnp.float32)
     for ax in range(3):
-        inv = 1.0 / r10[ax]
+        inv = _safe_inv(r10[ax])
         t0 = (box_ref[0, ax] - r10[6 + ax]) * inv
         t1 = (box_ref[0, 3 + ax] - r10[6 + ax]) * inv
         near = jnp.maximum(near, jnp.minimum(t0, t1))

@@ -245,9 +245,12 @@ def footprint_sample_windowed(quads, fp, width, height, uv, interpret=False):
     n = uv.shape[1]
     n_pad = -(-n // NB) * NB
     pad = n_pad - n
-    uv_p = jnp.pad(uv, ((0, 0), (0, pad)))
-    fp_p = jnp.pad(fp, ((0, 0), (0, pad)))
-    wh_p = jnp.pad(jnp.stack([width, height]), ((0, 0), (0, pad)), constant_values=1)
+    # Edge-replicate (not zero-fill): zero-padded lanes map to atlas
+    # row-group 0, dragging the final partial block's g_min to 0 and forcing
+    # it to walk the whole row range below its real lanes (perf only).
+    uv_p = jnp.pad(uv, ((0, 0), (0, pad)), mode="edge")
+    fp_p = jnp.pad(fp, ((0, 0), (0, pad)), mode="edge")
+    wh_p = jnp.pad(jnp.stack([width, height]), ((0, 0), (0, pad)), mode="edge")
     rq = max(-(-quads.shape[0] // 128) * 128, W_ROWS)
     quads_i = jax.lax.bitcast_convert_type(quads, jnp.int32)
     if rq > quads.shape[0]:

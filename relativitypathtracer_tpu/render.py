@@ -130,7 +130,7 @@ def apply44_perpixel(m, v):
 
 
 def intersect_scene(scene: Scene, meta: SceneMeta, L, stat_cam, dir4,
-                    interval: int = -1):
+                    interval: int):
     """Nearest hit over all objects for rays sharing the camera origin.
 
     dir4: (4, N) = (interval, unit camera dir) in the camera frame;

@@ -40,9 +40,13 @@ def _ensure_oracle() -> str:
 
 
 def fullres_parity(name: str, width: int = 1024, height: int = 768,
-                   workdir: str = "/tmp") -> dict:
+                   workdir: str = "/tmp", state=None, tag: str | None = None) -> dict:
     """Render `name`.txt at full resolution with both implementations.
 
+    state: optional FrameState (default: FrameState.initial()) -- a boosted /
+    advanced-time state exercises the full per-frame boost chain at
+    production resolution, where early-termination bounds and footprint
+    margins can diverge in ways low-res tests cannot see.
     Returns {"scene", "frac_bad" (pixels with max-channel diff > 1e-3),
     "mean_diff", "ok"}.
     """
@@ -52,10 +56,12 @@ def fullres_parity(name: str, width: int = 1024, height: int = 768,
 
     host = load_scene_file(str(REF / "Scenes" / f"{name}.txt"))
     scene, meta = build_scene(host)
-    state = FrameState.initial()
+    if state is None:
+        state = FrameState.initial()
+    tag = tag or name
 
-    blob = f"{workdir}/parity_{name}.blob"
-    out = f"{workdir}/parity_{name}.rgb"
+    blob = f"{workdir}/parity_{tag}.blob"
+    out = f"{workdir}/parity_{tag}.rgb"
     write_scene_blob(blob, scene, meta, state, width, height)
     subprocess.run([_ensure_oracle(), blob, out], check=True, capture_output=True)
     ref = np.fromfile(out, np.float32).reshape(height, width, 3)
@@ -64,7 +70,7 @@ def fullres_parity(name: str, width: int = 1024, height: int = 768,
     diff = np.abs(ref - ours)
     frac_bad = float(np.mean(diff.max(-1) > 1e-3))
     return {
-        "scene": name,
+        "scene": tag,
         "frac_bad": round(frac_bad, 6),
         "mean_diff": round(float(diff.mean()), 7),
         "ok": bool(frac_bad <= MAX_FRAC_BAD),

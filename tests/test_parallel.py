@@ -42,6 +42,34 @@ def test_sharded_mesh_scene(reference_root):
     np.testing.assert_allclose(sharded, single, atol=2e-5)
 
 
+def test_sharded_interpret_production_kernels(reference_root):
+    """The EXACT composition 8 real chips would run: the production Pallas
+    kernel bodies (interpret mode) under shard_map. shadows.txt exercises
+    the shared mesh kernel, the general (shadow) kernel with tmax bounding,
+    the fused analytic kernels and the shadow-chain kernel, all inside the
+    sharded band renderer. Without this, every multi-device test would only
+    ever cover the jnp fallback (ops/mesh_intersect._resolve_pallas defaults
+    Pallas off on CPU)."""
+    from relativitypathtracer_tpu.ops import mesh_intersect
+    from relativitypathtracer_tpu.render import build_render_fn
+
+    host = load_scene_file(str(reference_root / "Scenes" / "shadows.txt"))
+    scene, meta = build_scene(host)
+    W, H = 128, 64
+    state = FrameState.initial()
+    mesh_intersect.PALLAS_MODE = "interpret"
+    build_render_fn.cache_clear()  # cached renderers close over the mode
+    try:
+        single = np.asarray(render_frame(scene, meta, state, W, H))
+        mesh = default_mesh(4)
+        render = build_sharded_render_fn(meta, W, H, meta.default_interval, mesh)
+        sharded = np.asarray(render(scene, state))
+    finally:
+        mesh_intersect.PALLAS_MODE = None
+        build_render_fn.cache_clear()
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
 def test_sharded_uneven_height(cube_scene):
     # height not divisible by n_dev * 32: padding + crop must still line up
     scene, meta = cube_scene

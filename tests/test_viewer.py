@@ -92,6 +92,38 @@ def test_stats_keys(core):
     assert set(s) >= {"fps", "paused", "interval", "speed_c", "time_s", "size"}
 
 
+def test_window_frontend_smoke(monkeypatch):
+    """run_window under SDL's dummy video driver: real pygame loop, synthetic
+    key/resize events consumed on the first frame, bounded by max_frames.
+    Covers the window frontend path (viewer.run_window) with no display."""
+    pygame = pytest.importorskip("pygame")
+    monkeypatch.setenv("SDL_VIDEODRIVER", "dummy")
+    from relativitypathtracer_tpu.models.dsl import parse_scene
+    from relativitypathtracer_tpu.viewer import ViewerCore, run_window
+
+    core = ViewerCore(parse_scene(SCENE), 64, 48)
+    # The event queue needs an initialized display; run_window's own init is
+    # idempotent. Post held-'w' (accelerate), space (unpause) and a resize --
+    # all consumed in the first frame's event.get().
+    pygame.display.init()
+    pygame.display.set_mode((64, 48))
+    pygame.event.post(pygame.event.Event(pygame.KEYDOWN, key=pygame.K_w))
+    pygame.event.post(pygame.event.Event(pygame.KEYDOWN, key=pygame.K_SPACE))
+    pygame.event.post(pygame.event.Event(pygame.VIDEORESIZE, w=96, h=64))
+    try:
+        assert run_window(core, max_frames=3) == 0
+        assert (core.width, core.height) == (96, 64)
+        assert _speed(core) > 0.0  # held 'w' accelerated the camera
+        assert not core.sim.paused  # space unpaused
+        # QUIT exits the loop before max_frames
+        pygame.display.init()
+        pygame.display.set_mode((96, 64))
+        pygame.event.post(pygame.event.Event(pygame.QUIT))
+        assert run_window(core, max_frames=100) == 0
+    finally:
+        pygame.quit()
+
+
 def test_web_frontend_end_to_end():
     from relativitypathtracer_tpu.models.dsl import parse_scene
     from relativitypathtracer_tpu.viewer import ViewerCore, run_web
