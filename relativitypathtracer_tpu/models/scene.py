@@ -73,8 +73,9 @@ class MeshStatic(NamedTuple):
     shared-origin constants depend on the per-frame camera event."""
 
     attrs: jnp.ndarray  # (T_pad, 15)
-    spheres: jnp.ndarray  # (n_chunks, 4)
+    spheres: jnp.ndarray  # (n_chunks, 4) at TC granularity (shared kernel)
     gen_cols: jnp.ndarray  # (4*T_pad, 10)
+    gen_spheres: jnp.ndarray  # (T_pad/TC_GEN, 4) general-kernel granularity
 
 
 class MeshBatchStatic(NamedTuple):
@@ -347,7 +348,7 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
         general_ray_constants, mesh_tri_vertices, tri_attr_matrix, tri_count,
         _round_up as _ru,
     )
-    from ..ops.pallas.mesh_kernels import chunk_spheres
+    from ..ops.pallas.mesh_kernels import TC_GEN, chunk_spheres
 
     mesh_static = []
     for k, rng_pair in enumerate(tri_ranges):
@@ -362,6 +363,7 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
             attrs=tri_attr_matrix(mesh, rng_pair, T_pad_k, perm_arr),
             spheres=chunk_spheres(A, B, C, T_k, T_pad_k),
             gen_cols=general_ray_constants(mesh, rng_pair, perm_arr)[0],
+            gen_spheres=chunk_spheres(A, B, C, T_k, T_pad_k, tc=TC_GEN),
         ))
 
     # Fused multi-mesh pool (batched kernels): concat per-object statics,

@@ -185,7 +185,8 @@ def _mt_accept(det, u_num, v_num, t_num, tri_ok):
 
 
 def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
-                          use_pallas=None, perm=None, static=None):
+                          use_pallas=None, perm=None, static=None,
+                          debug_iters=False):
     """Nearest-hit of shared-origin rays against triangles [lo, hi).
 
     o3: (3,) rest-frame spatial origin; d3: (3, N) rest-frame spatial dirs.
@@ -219,8 +220,10 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
             A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
             attrs = tri_attr_matrix(mesh, tri_range, T_pad, perm)
             spheres = chunk_spheres(A, B, C, T, T_pad)
-        bt, bu, bv, btri, battr = shared_nearest_hit(
-            consts, c_t, attrs, spheres, dh, ro, interpret=interpret)
+        out = shared_nearest_hit(
+            consts, c_t, attrs, spheres, dh, ro, interpret=interpret,
+            debug_iters=debug_iters)
+        bt, bu, bv, btri, battr = out[:5]
         valid = btri >= 0  # kernel init is -1; any real hit overwrites it
         # attr(u, v) = base + u*du + v*dv (see tri_attr_matrix)
         interp = battr[0:5] + bu * battr[5:10] + bv * battr[10:15]
@@ -230,6 +233,8 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
         world_pt = apply_affine3(m4, obj_pt)
         t = norm3(world_pt - o3[:, None]) / norm3(d3)
         t = jnp.where(valid, t, INF)
+        if debug_iters:
+            return t, normal, uv, valid, out[5]
         return t, normal, uv, valid
 
     Tc = min(tri_chunk, T_pad)
@@ -421,7 +426,8 @@ def mesh_min_t_general_batched(mesh, meta, batch, L, inv_ms, m4s,
 
 
 def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
-                       use_pallas=None, perm=None, tmax=None, static=None):
+                       use_pallas=None, perm=None, tmax=None, static=None,
+                       debug_iters=False):
     """Minimum hit parameter t for rays with per-ray origins (shadow rays).
 
     o3: (3, N) rest-frame spatial origins; d3: (3, N) spatial dirs.
@@ -461,12 +467,13 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
         from .pallas.mesh_kernels import TC_GEN, chunk_spheres, general_min_t
 
         if static is not None:
-            spheres = static.spheres
+            spheres = static.gen_spheres
         else:
             A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
             spheres = chunk_spheres(A, B, C, T, T_pad, tc=TC_GEN)
         tmax_obj = None
         valid = None
+        tcut_obj = None
         if tmax is not None:
             # Convert the t-parameter bound to object-space distance: along a
             # ray, t = bt * |M3 dh| / |d3| (M maps object space back to the
@@ -478,9 +485,22 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
             # whose result is discarded.
             valid = tmax > 0.0
             k_r = norm3(apply_linear3(m4, dh))
-            tmax_obj = jnp.where(valid, tmax * norm3(d3) / k_r * 1.001 + 1e-3, 0.0)
+            tmax_base = tmax * norm3(d3) / k_r
+            tmax_obj = jnp.where(valid, tmax_base * 1.001 + 1e-3, 0.0)
+            # Occlusion retirement: shadow callers only test `t >= tmax`, so
+            # a hit strictly below tcut (inverse margin of the bound above)
+            # proves the lane shadowed no matter what closer hits exist --
+            # the kernel then drops it from the walk bound. The margin keeps
+            # fp error in the object->shared conversion from flipping the
+            # caller's comparison.
+            tcut_obj = jnp.where(valid,
+                                 jnp.maximum(tmax_base * 0.999 - 1e-3, 0.0),
+                                 0.0)
         bt = general_min_t(cols, spheres, r10, tmax_obj, valid=valid,
-                           interpret=interpret)
+                           tcut_obj=tcut_obj, interpret=interpret,
+                           debug_iters=debug_iters)
+        if debug_iters:
+            bt, dbg_iters = bt
     else:
         Tc = min(tri_chunk, T_pad)
         n_chunks = T_pad // Tc
@@ -496,9 +516,13 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
             return jnp.minimum(best_t, jnp.min(dist, axis=0)), None
 
         bt, _ = jax.lax.scan(chunk_step, jnp.full((n,), INF), jnp.arange(n_chunks))
+        dbg_iters = None
 
     valid = bt < INF
     obj_pt = ro + bt * dh
     world_pt = apply_affine3(m4, obj_pt)
     t = norm3(world_pt - o3) / norm3(d3)
-    return jnp.where(valid, t, INF)
+    t = jnp.where(valid, t, INF)
+    if debug_iters:
+        return t, dbg_iters
+    return t

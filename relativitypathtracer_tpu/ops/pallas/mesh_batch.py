@@ -1,5 +1,9 @@
 """Batched multi-mesh Pallas kernels: N mesh instances, ONE kernel.
 
+In-kernel dots pin precision=DEFAULT: the renderer traces under
+default_matmul_precision("highest"), which would otherwise slow these
+f32-exact small-K dots 3-6x (see ops/pallas/mesh_kernels._shared_kernel).
+
 The per-object mesh path (render.intersect_scene / scene_min_t) unrolls a
 kernel call per mesh object -- compile time and launch overhead scale with
 instance count, and a block that intersects only one object still pays every
@@ -42,8 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mesh_kernels import (
-    INF, NB, TC, N_ATTR, _cone_cull, _mask_invalid_lanes, _mt_mask,
-    _round_up, _safe_inv, bucket_order, chunk_interleave,
+    INF, NB, TC, N_ATTR, _mt_mask, _round_up, _safe_inv, _sub_cone_cull,
+    bucket_order, chunk_interleave, split_bf16,
 )
 
 ROWS_SH = 8   # scratch rows per object, shared kernel: [dh(3), s(1), pad(4)]
@@ -133,13 +137,11 @@ def live_chunk_lists_multi(spheres, chunk_counts, d_os, o_os, s_os,
             overlaps.append(jnp.zeros((n_blocks, nck), bool))
             c0 += nck
             continue
-        d = d_os[g].reshape(3, n_blocks, NB)
-        o = o_os[g].reshape(3, n_blocks, NB)
         s = s_os[g].reshape(n_blocks, NB)
         if valid is not None:
-            d, o = _mask_invalid_lanes(d, o, valid)
             s = jnp.where(valid.reshape(n_blocks, NB), s, INF)
-        mind_g, over_g = _cone_cull(spheres[c0:c0 + nck], d, o)
+        mind_g, over_g = _sub_cone_cull(spheres[c0:c0 + nck], d_os[g],
+                                        o_os[g], valid)
         c0 += nck
         s_min = jnp.min(s, axis=1, keepdims=True)  # (B, 1) lower bound
         minds.append(mind_g * s_min)
@@ -192,15 +194,17 @@ def _shared_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
         dh = blk[0:3]
         s = blk[3]
         base = k * TC
-        # Interleaved det/u/v rows: one (3*Tc, 3) @ (3, NB) MXU pass.
+        # K=3 contraction as exact VPU broadcast-FMAs (see
+        # mesh_kernels._shared_kernel: MXU DEFAULT is bf16-lossy, HIGHEST 3x).
         cblk = consts_ref[pl.ds(3 * base, 3 * TC), :]
         ct = consts_ref[pl.ds(3 * Tsum_pad + base, TC), 0]
 
-        prods = jax.lax.dot_general(cblk, dh, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        det = prods[:TC]
-        u_num = prods[TC:2 * TC]
-        v_num = prods[2 * TC:]
+        det = (cblk[0:TC, 0:1] * dh[0:1] + cblk[0:TC, 1:2] * dh[1:2]
+               + cblk[0:TC, 2:3] * dh[2:3])
+        u_num = (cblk[TC:2 * TC, 0:1] * dh[0:1] + cblk[TC:2 * TC, 1:2] * dh[1:2]
+                 + cblk[TC:2 * TC, 2:3] * dh[2:3])
+        v_num = (cblk[2 * TC:, 0:1] * dh[0:1] + cblk[2 * TC:, 1:2] * dh[1:2]
+                 + cblk[2 * TC:, 2:3] * dh[2:3])
         inv_det = 1.0 / det
         u = u_num * inv_det
         v = v_num * inv_det
@@ -213,11 +217,19 @@ def _shared_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
         onehot = jax.lax.broadcasted_iota(jnp.int32, (TC, nb), 0) == idx[None, :]
         umin = jnp.sum(jnp.where(onehot, u, 0.0), axis=0)
         vmin = jnp.sum(jnp.where(onehot, v, 0.0), axis=0)
-        attrs = attr_ref[pl.ds(base, TC), :]
-        attr_sel = jax.lax.dot_general(
-            attrs, jnp.where(onehot, 1.0, 0.0), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (15, NB)
+        onehot_f = jnp.where(onehot, 1.0, 0.0)
+        # hi/lo bf16-split one-hot attr select (see mesh_kernels.split_bf16)
+        attrs = attr_ref[pl.ds(base, TC), :]  # (Tc, 30) [hi | lo]
+        attr_sel = (
+            jax.lax.dot_general(attrs[:, :N_ATTR], onehot_f,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+            + jax.lax.dot_general(attrs[:, N_ATTR:], onehot_f,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.DEFAULT)
+        )
         new_t = jnp.where(better, tmin, best_t)
         return (
             j + 1,
@@ -272,6 +284,7 @@ def batched_nearest_shared(consts, attrs, spheres, boxes, mats, dir4,
     consts = jnp.concatenate(
         [chunk_interleave(consts[:3 * Tsum_pad], Tsum_pad, 3, TC),
          consts[3 * Tsum_pad:]], axis=0)
+    attrs = split_bf16(attrs)  # (Tsum_pad, 30) [hi | lo]
     dir4_p = jnp.pad(dir4, ((0, 0), (0, pad)), constant_values=1.0)
     d_p = jnp.pad(d_os, ((0, 0), (0, 0), (0, pad)), constant_values=1.0)
     o_p = jnp.pad(o_os, ((0, 0), (0, 0), (0, pad)))
@@ -295,7 +308,7 @@ def batched_nearest_shared(consts, attrs, spheres, boxes, mats, dir4,
             pl.BlockSpec((O, 9), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((O, MAT_COLS), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((consts.shape[0], 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tsum_pad, N_ATTR), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tsum_pad, 2 * N_ATTR), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(out_vec, out_vec, out_vec, out_vec, out_vec,
@@ -354,14 +367,20 @@ def _general_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
         r10 = blk[0:10]
         s = blk[10]
         base = k * TC
-        # Interleaved det/u/v/t rows: one full-array (128, 10) MXU pass.
-        prods = jax.lax.dot_general(
-            cols_ref[pl.ds(4 * base, 4 * TC), :], r10, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        det = prods[:TC]
-        u_num = prods[TC:2 * TC]
-        v_num = prods[2 * TC:3 * TC]
-        t_num = prods[3 * TC:]
+        # Structured exact VPU FMAs over the sparse Plucker operators (see
+        # mesh_kernels._general_kernel).
+        blk2 = cols_ref[pl.ds(4 * base, 4 * TC), :]
+
+        def fma(rows, lo, hi):
+            acc = rows[:, lo:lo + 1] * r10[lo:lo + 1]
+            for c in range(lo + 1, hi):
+                acc = acc + rows[:, c:c + 1] * r10[c:c + 1]
+            return acc
+
+        det = fma(blk2[0:TC], 0, 3)
+        u_num = fma(blk2[TC:2 * TC], 0, 6)
+        v_num = fma(blk2[2 * TC:3 * TC], 0, 6)
+        t_num = fma(blk2[3 * TC:], 6, 10)
         inv_det = 1.0 / det
         u = u_num * inv_det
         v = v_num * inv_det
@@ -369,7 +388,12 @@ def _general_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
         ok = _mt_mask(det, u, v, dist, True)
         tsh = jnp.where(ok, dist * s[None, :], INF)
         new_t = jnp.minimum(best_t, jnp.min(tsh, axis=0))
-        return j + 1, jnp.max(jnp.minimum(new_t, tmax_eff)), new_t
+        # Occlusion retirement: tsh and tmax are both in SHARED units and the
+        # caller only consumes `result >= tmax`, so any hit strictly below
+        # tmax proves the lane shadowed -- drop it from the walk bound (its
+        # exact nearest hit no longer matters).
+        live_bound = jnp.where(new_t < tmax, 0.0, jnp.minimum(new_t, tmax_eff))
+        return j + 1, jnp.max(live_bound), new_t
 
     init = (jnp.int32(0), jnp.max(tmax_eff), jnp.full((nb,), INF, jnp.float32))
     _, _, bt = jax.lax.while_loop(cond, body, init)

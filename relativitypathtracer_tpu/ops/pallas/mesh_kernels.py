@@ -43,7 +43,8 @@ EPSILON = 1e-7
 INF = 1e20
 NB = 1024  # rays per block; VMEM budget ~6 (Tc, NB) f32 intermediates
 TC = 32  # shared-kernel chunk; all kernel slices are sublane-dynamic (8-aligned)
-TC_GEN = 32  # general (shadow) kernel chunk (32 measured best, like the shared kernel)
+TC_GEN = 32  # general (shadow) kernel chunk (32 measured best; 64 re-tested
+# round 3: coarser culling + 2 MXU passes/iter lost ~0.6ms on bunny)
 N_ATTR = 15  # [normal(3) + uv(2)] x [base, du, dv]
 
 
@@ -78,8 +79,8 @@ def chunk_spheres(A, B, C, T, T_pad, tc=TC):
 
 
 def _cones_of(dh_blocks, o_blocks):
-    """Bounding cone per ray block. dh_blocks: (3, n_blocks, NB) unit dirs;
-    o_blocks: (3, n_blocks, NB) origins. Returns (apex (3, B), axis (3, B),
+    """Bounding cone per ray block. dh_blocks: (3, n_blocks, nb) unit dirs;
+    o_blocks: (3, n_blocks, nb) origins. Returns (apex (3, B), axis (3, B),
     cos_a (B,), o_rad (B,))."""
     oc = jnp.mean(o_blocks, axis=2)
     o_rad = jnp.sqrt(jnp.max(jnp.sum((o_blocks - oc[:, :, None]) ** 2, axis=0), axis=1))
@@ -89,10 +90,13 @@ def _cones_of(dh_blocks, o_blocks):
     return oc, axis, cos_a, o_rad
 
 
+SUB = 4  # culling sub-cones per NB-lane kernel block (256-lane 16x16 quads)
+
+
 def _mask_invalid_lanes(d, o, valid):
     """Replace masked lanes' (garbage) rays with the block mean so they
-    cannot blow up the block bounding cones. d/o: (3, n_blocks, NB)."""
-    v = valid.reshape(1, d.shape[1], NB)
+    cannot blow up the block bounding cones. d/o: (3, n_blocks, nb)."""
+    v = valid.reshape(1, d.shape[1], d.shape[2])
     nv = jnp.maximum(jnp.sum(v, axis=2, keepdims=True), 1)
     o_mean = jnp.sum(jnp.where(v, o, 0.0), axis=2, keepdims=True) / nv
     d_mean = jnp.sum(jnp.where(v, d, 0.0), axis=2, keepdims=True) / nv
@@ -186,12 +190,37 @@ def live_chunk_lists(spheres, dh_p, o_p, valid=None):
              counts (n_blocks, 1) i32 live counts).
     """
     n_blocks = dh_p.shape[1] // NB
-    d = dh_p.reshape(3, n_blocks, NB)
-    o = o_p.reshape(3, n_blocks, NB)
+    mind, overlap = _sub_cone_cull(spheres, dh_p, o_p, valid)
+    return bucket_order(mind, overlap)
+
+
+def _sub_cone_cull(spheres, dh_p, o_p, valid=None):
+    """Cull at SUB-cone granularity (NB/SUB-lane groups -- compact 16x16
+    pixel quads under the renderer's quadrant swizzle), then reduce to the
+    kernels' NB-lane blocks: overlap = any sub overlaps, mind = min over
+    overlapping subs (sound: lanes of a non-overlapping sub cannot hit the
+    chunk, so excluding their sub from the bound loses nothing). Sub-cones
+    have ~half the apex radius and angular spread of a full-block cone,
+    which is what defeats the fat near-apex cones of surface-origin shadow
+    blocks. Returns (mind, overlap) shaped (n_blocks, n_chunks)."""
+    nb = NB // SUB
+    n_sub = dh_p.shape[1] // nb
+    d = dh_p.reshape(3, n_sub, nb)
+    o = o_p.reshape(3, n_sub, nb)
     if valid is not None:
         d, o = _mask_invalid_lanes(d, o, valid)
-    mind, overlap = _cone_cull(spheres, d, o)
-    return bucket_order(mind, overlap)
+    mind_s, over_s = _cone_cull(spheres, d, o)  # (n_sub, C)
+    if valid is not None:
+        # A sub with ZERO valid lanes gets a degenerate all-zero cone from
+        # _mask_invalid_lanes, which the overlap test reads as "overlaps
+        # everything at distance ~0" -- poisoning its whole block's live
+        # list and floors. Its lanes cannot hit anything: drop the sub.
+        has_valid = jnp.any(valid.reshape(n_sub, nb), axis=1)
+        over_s = over_s & has_valid[:, None]
+    C = mind_s.shape[1]
+    over_s = over_s.reshape(n_sub // SUB, SUB, C)
+    mind_s = jnp.where(over_s, mind_s.reshape(n_sub // SUB, SUB, C), INF)
+    return jnp.min(mind_s, axis=1), jnp.any(over_s, axis=1)
 
 
 def chunk_interleave(grouped, T_pad, nf, tc):
@@ -206,6 +235,18 @@ def chunk_interleave(grouped, T_pad, nf, tc):
     cols = grouped.shape[1]
     g = grouped.reshape(nf, T_pad // tc, tc, cols)
     return g.transpose(1, 0, 2, 3).reshape(nf * T_pad, cols)
+
+
+def split_bf16(x):
+    """Hi/lo bf16 decomposition along the last axis: returns
+    concat([hi, lo], -1) with hi = f32(bf16(x)), lo = x - hi. hi is exactly
+    bf16-representable, so a DEFAULT-precision (bf16-pass) MXU product
+    against an exact operand (e.g. a 0/1 one-hot) computes the hi term
+    exactly; the lo term is itself bf16-rounded by its pass, leaving a
+    ~|x| * 2^-16 residual -- i.e. the two-dot sum recovers ~16 mantissa
+    bits, ample for normal/uv attributes consumed at 1e-3 tolerance."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return jnp.concatenate([hi, x - hi], axis=-1)
 
 
 def _mt_mask(det, u, v, dist, tri_ok):
@@ -257,16 +298,22 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
         j, mb, best_t, best_u, best_v, best_tri, best_attr = state
         k = order_ref[0, 0, j]
         base = k * TC
-        # Per-chunk INTERLEAVED det/u/v rows (see chunk_interleave): one
-        # (3*Tc, 3) @ (3, NB) MXU pass computes all three factors.
+        # Per-chunk INTERLEAVED det/u/v rows (see chunk_interleave).
         blk = consts_ref[pl.ds(3 * base, 3 * TC), :]
         ct = consts_ref[pl.ds(3 * T_pad + base, TC), 0]  # (Tc,)
 
-        prods = jax.lax.dot_general(blk, dh, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        det = prods[:TC]
-        u_num = prods[TC:2 * TC]
-        v_num = prods[2 * TC:]
+        # K=3 contraction as 9 explicit (Tc, NB) VPU broadcast-FMAs: the MXU
+        # alternatives are either lossy (DEFAULT lowers f32 to bf16 passes --
+        # broke full-res oracle parity) or 3-6x slower (HIGHEST, which the
+        # renderer's default_matmul_precision("highest") otherwise imposes on
+        # in-kernel dots too). VPU FMAs are exact f32 at ~the lossy path's
+        # speed; at K=3 the MXU has no arithmetic advantage.
+        det = (blk[0:TC, 0:1] * dh[0:1] + blk[0:TC, 1:2] * dh[1:2]
+               + blk[0:TC, 2:3] * dh[2:3])
+        u_num = (blk[TC:2 * TC, 0:1] * dh[0:1] + blk[TC:2 * TC, 1:2] * dh[1:2]
+                 + blk[TC:2 * TC, 2:3] * dh[2:3])
+        v_num = (blk[2 * TC:, 0:1] * dh[0:1] + blk[2 * TC:, 1:2] * dh[1:2]
+                 + blk[2 * TC:, 2:3] * dh[2:3])
         inv_det = 1.0 / det
         u = u_num * inv_det
         v = v_num * inv_det
@@ -277,14 +324,24 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
         better = dmin < best_t
         idx = jnp.argmin(dist, axis=0)  # (NB,)
         onehot = jax.lax.broadcasted_iota(jnp.int32, (TC, nb), 0) == idx[None, :]
+        onehot_f = jnp.where(onehot, 1.0, 0.0)
         umin = jnp.sum(jnp.where(onehot, u, 0.0), axis=0)
         vmin = jnp.sum(jnp.where(onehot, v, 0.0), axis=0)
-        # Interpolation-ready attributes of the winning triangle, via one
-        # (Tc, 15)^T @ (Tc, NB) product -- no per-ray gathers.
-        attrs = attr_ref[pl.ds(base, TC), :]  # (Tc, 15)
-        attr_sel = jax.lax.dot_general(
-            attrs, jnp.where(onehot, 1.0, 0.0), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        # Interpolation-ready attributes of the winning triangle via TWO
+        # one-hot MXU products at DEFAULT precision on a hi/lo bf16 SPLIT of
+        # the attr values (see split_bf16: recovers ~16 mantissa bits).
+        # A single f32 dot is either bf16-truncated (DEFAULT) or 3x slower
+        # (HIGHEST); a Tc-step VPU accumulation costs ~1us/iteration.
+        attrs = attr_ref[pl.ds(base, TC), :]  # (Tc, 30) [hi | lo]
+        attr_sel = (
+            jax.lax.dot_general(attrs[:, :N_ATTR], onehot_f,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+            + jax.lax.dot_general(attrs[:, N_ATTR:], onehot_f,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.DEFAULT)
         )  # (15, NB)
         new_t = jnp.where(better, dmin, best_t)
         return (
@@ -308,16 +365,19 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
         jnp.full((nb,), -1, jnp.int32),
         jnp.zeros((N_ATTR, nb), jnp.float32),
     )
-    _, _, bt, bu, bv, btri, battr = jax.lax.while_loop(cond, body, init)
+    jf, _, bt, bu, bv, btri, battr = jax.lax.while_loop(cond, body, init)
     t_ref[0, :] = bt
+    if t_ref.shape[0] > 1:  # debug: iteration count
+        t_ref[1, :] = jnp.full((dh.shape[1],), jf, jnp.float32)
     u_ref[0, :] = bu
     v_ref[0, :] = bv
     tri_ref[0, :] = btri
     attr_out_ref[:, :] = battr
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "debug_iters"))
+def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False,
+                       debug_iters=False):
     """consts: (3*T_pad, 3); c_t: (T_pad,); attrs: (15, T_pad);
     spheres: (n_chunks, 4); dh: (3, N) unit object-space dirs; ro: (3,).
 
@@ -334,12 +394,14 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False):
     consts = jnp.concatenate(
         [chunk_interleave(consts[:3 * T_pad], T_pad, 3, TC), consts[3 * T_pad:]],
         axis=0)
+    attrs = split_bf16(attrs)  # (T_pad, 30) [hi | lo] for exact DEFAULT dots
     order, minds, counts = live_chunk_lists(spheres, dh_p, ro_p)
     lo = jnp.min(spheres[:, :3] - spheres[:, 3:4], axis=0)
     hi = jnp.max(spheres[:, :3] + spheres[:, 3:4], axis=0)
     box = jnp.concatenate([lo, hi, ro])[None, :]  # (1, 9) scalars
 
     kernel = functools.partial(_shared_kernel, T=T_pad, T_pad=T_pad)
+    t_rows = 2 if debug_iters else 1
     out_vec = pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
     bt, bu, bv, btri, battr = pl.pallas_call(
         kernel,
@@ -350,13 +412,14 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False):
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 9), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((consts.shape[0], 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_pad, N_ATTR), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_pad, 2 * N_ATTR), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=(out_vec, out_vec, out_vec, out_vec,
+        out_specs=(pl.BlockSpec((t_rows, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+                   out_vec, out_vec, out_vec,
                    pl.BlockSpec((N_ATTR, NB), lambda i: (0, i), memory_space=pltpu.VMEM)),
         out_shape=(
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((t_rows, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
@@ -364,6 +427,8 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False):
         ),
         interpret=interpret,
     )(order, minds, counts, box, consts, attrs, dh_p)
+    if debug_iters:
+        return bt[0, :n], bu[0, :n], bv[0, :n], btri[0, :n], battr[:, :n], bt[1, ::NB]
     return bt[0, :n], bu[0, :n], bv[0, :n], btri[0, :n], battr[:, :n]
 
 
@@ -374,6 +439,12 @@ def _general_kernel(order_ref, minds_ref, count_ref, box_ref, cols_ref,
     nb = r10.shape[1]
     n_live = count_ref[0, 0, 0]
     tmax = tmax_ref[0, :]
+    # Occlusion-retirement threshold (see general_min_t): shadow callers only
+    # consume `occ_t >= tmax`, so a lane holding ANY hit strictly below tcut
+    # is definitively occluded and stops extending the block's walk bound --
+    # it no longer needs the exact nearest hit. tcut == 0 (min-t callers,
+    # masked lanes) never retires.
+    tcut = tmax_ref[1, :]
 
     # Per-lane walk bound: min(tmax, union-box exit). Every chunk lies inside
     # the union box of the chunk spheres, so a ray that leaves the box has
@@ -405,15 +476,23 @@ def _general_kernel(order_ref, minds_ref, count_ref, box_ref, cols_ref,
         j, mb, best_t = state
         k = order_ref[0, 0, j]
         base = k * TC
-        # Per-chunk INTERLEAVED det/u/v/t rows: ONE (4*Tc, 10) @ (10, NB)
-        # MXU pass (4*Tc = 128 rows fills the systolic array exactly).
-        prods = jax.lax.dot_general(
-            cols_ref[pl.ds(4 * base, 4 * TC), :], r10, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        det = prods[:TC]
-        u_num = prods[TC:2 * TC]
-        v_num = prods[2 * TC:3 * TC]
-        t_num = prods[3 * TC:]
+        # Structured VPU FMAs instead of one (4*Tc, 10) MXU pass: the
+        # factor operators are sparse in the Plucker lift (det uses r10[0:3],
+        # u/v use [0:6], t uses [6:10] -- see general_ray_constants), so 19
+        # exact (Tc, NB) FMAs replace a 40-row-equivalent dense product that
+        # is lossy at DEFAULT (bf16 passes) and 2x slower at HIGHEST.
+        blk = cols_ref[pl.ds(4 * base, 4 * TC), :]  # (4Tc, 10)
+
+        def fma(rows, lo, hi):
+            acc = rows[:, lo:lo + 1] * r10[lo:lo + 1]
+            for c in range(lo + 1, hi):
+                acc = acc + rows[:, c:c + 1] * r10[c:c + 1]
+            return acc
+
+        det = fma(blk[0:TC], 0, 3)
+        u_num = fma(blk[TC:2 * TC], 0, 6)
+        v_num = fma(blk[2 * TC:3 * TC], 0, 6)
+        t_num = fma(blk[3 * TC:], 6, 10)
         inv_det = 1.0 / det
         u = u_num * inv_det
         v = v_num * inv_det
@@ -423,24 +502,32 @@ def _general_kernel(order_ref, minds_ref, count_ref, box_ref, cols_ref,
         new_t = jnp.minimum(best_t, jnp.min(dist, axis=0))
         # Search bounded at min(tmax, box exit): occluders beyond either are
         # irrelevant / impossible, so chunks past the bound stop the walk.
-        return j + 1, jnp.max(jnp.minimum(new_t, tmax_eff)), new_t
+        # Lanes already provably occluded (hit < tcut) contribute nothing.
+        live_bound = jnp.where(new_t < tcut, 0.0, jnp.minimum(new_t, tmax_eff))
+        return j + 1, jnp.max(live_bound), new_t
 
     # (A VMEM-loaded VECTOR as loop carry init crashes Mosaic; a scalar
     # reduce of one is fine.) Starting mb at the block's max bound instead of
     # INF means blocks whose lanes are all masked-irrelevant (tmax 0) run
     # ZERO chunk iterations.
     init = (jnp.int32(0), jnp.max(tmax_eff), jnp.full((nb,), INF, jnp.float32))
-    _, _, bt = jax.lax.while_loop(cond, body, init)
+    jf, _, bt = jax.lax.while_loop(cond, body, init)
     t_ref[0, :] = jnp.minimum(bt, tmax)
+    if len(t_ref.shape) > 1 and t_ref.shape[0] > 1:  # debug: iteration count
+        t_ref[1, :] = jnp.full((nb,), jf, jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "debug_iters"))
 def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, valid=None,
-                  interpret=False):
+                  tcut_obj=None, interpret=False, debug_iters=False):
     """cols_grouped: (4*T_pad, 10) factor-grouped; spheres: (n_chunks, 4);
     r10: (10, N) lifted rays [dh, o x dh, o, 1]; tmax_obj: optional (N,)
     object-space search bound per ray -- the result is min(nearest hit,
-    tmax_obj); valid: optional (N,) lanes included in the culling cones.
+    tmax_obj); valid: optional (N,) lanes included in the culling cones;
+    tcut_obj: optional (N,) occlusion-retirement threshold -- a lane with a
+    hit strictly below it stops extending the walk (its exact min-t may then
+    be missed, but it is still returned < tcut; only sound for callers that
+    compare the result against a bound >= tcut).
     Returns per-ray min object-space distance."""
     T_pad = cols_grouped.shape[0] // 4
     n = r10.shape[1]
@@ -448,7 +535,10 @@ def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, valid=None,
     r10_p = jnp.pad(r10, ((0, 0), (0, n_pad - n)), constant_values=1.0)
     if tmax_obj is None:
         tmax_obj = jnp.full((n,), INF, jnp.float32)
-    tmax_p = jnp.pad(tmax_obj, (0, n_pad - n))[None, :]
+    if tcut_obj is None:
+        tcut_obj = jnp.zeros((n,), jnp.float32)
+    tmax_p = jnp.stack([jnp.pad(tmax_obj, (0, n_pad - n)),
+                        jnp.pad(tcut_obj, (0, n_pad - n))])
     valid_p = None if valid is None else jnp.pad(valid, (0, n_pad - n))
     cols_grouped = chunk_interleave(cols_grouped, T_pad, 4, TC_GEN)
     order, minds, counts = live_chunk_lists(
@@ -468,10 +558,14 @@ def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, valid=None,
             pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((cols_grouped.shape[0], 10), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((10, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        out_specs=pl.BlockSpec((2 if debug_iters else 1, NB),
+                               lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 if debug_iters else 1, n_pad),
+                                       jnp.float32),
         interpret=interpret,
     )(order, minds, counts, box, cols_grouped, r10_p, tmax_p)
+    if debug_iters:
+        return bt[0, :n], bt[1, ::NB]
     return bt[0, :n]

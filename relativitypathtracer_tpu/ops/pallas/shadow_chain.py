@@ -58,12 +58,16 @@ def _chain_kernel(light_ref, mats_ref, dir4_ref, t_ref, nrm_ref, obj_ref,
     t_safe = jnp.where(hit, t, 1.0)
     nrm = [jnp.where(hit, nrm[k], 0.0) for k in range(3)]
 
-    # Hit object's matrices via one MXU product: (MROWS, O) @ (O, NB).
+    # Hit object's matrices via exact per-object VPU broadcast FMAs (the
+    # one-hot MXU product is bf16-lossy at DEFAULT precision and 3x slower
+    # at HIGHEST; O is small, so O (MROWS, NB) FMAs win).
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (O, nb), 0) == obj[None, :])
-    sel = jax.lax.dot_general(
-        mats_ref[:], jnp.where(onehot, 1.0, 0.0), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (MROWS, NB): rows L(16) | invL(16) | stat_cam(4)
+    onehot_f = jnp.where(onehot, 1.0, 0.0)
+    mats = mats_ref[:]
+    sel = jnp.zeros((mats.shape[0], nb), jnp.float32)
+    for o in range(O):
+        sel = sel + mats[:, o:o + 1] * onehot_f[o][None, :]
+    # (MROWS, NB): rows L(16) | invL(16) | stat_cam(4)
 
     def apply4(rows, v):  # rows: base index into sel; v: list of 4 (NB,)
         return [

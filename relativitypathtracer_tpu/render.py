@@ -419,17 +419,23 @@ def _round_up(x: int, m: int) -> int:
 
 
 def tile_swizzle(img_vec, ph, pw):
-    """(k, PH*PW) row-major pixel axis -> tile-major order (32x32 tiles)."""
+    """(k, PH*PW) row-major pixel axis -> tile-major order: 32x32 tiles,
+    QUADRANT-major within each tile (four 16x16 quadrants of 256 lanes each),
+    so the mesh kernels' 256-lane culling sub-cones cover compact squares
+    instead of 8x32 strips."""
     k = img_vec.shape[0]
-    x = img_vec.reshape(k, ph // TILE, TILE, pw // TILE, TILE)
-    return x.transpose(0, 1, 3, 2, 4).reshape(k, ph * pw)
+    h = TILE // 2
+    x = img_vec.reshape(k, ph // TILE, 2, h, pw // TILE, 2, h)
+    # -> (k, tile_r, tile_c, quad_r, quad_c, r, c)
+    return x.transpose(0, 1, 4, 2, 5, 3, 6).reshape(k, ph * pw)
 
 
 def tile_unswizzle(img_vec, ph, pw):
     """Inverse of tile_swizzle."""
     k = img_vec.shape[0]
-    x = img_vec.reshape(k, ph // TILE, pw // TILE, TILE, TILE)
-    return x.transpose(0, 1, 3, 2, 4).reshape(k, ph * pw)
+    h = TILE // 2
+    x = img_vec.reshape(k, ph // TILE, pw // TILE, 2, 2, h, h)
+    return x.transpose(0, 1, 3, 5, 2, 4, 6).reshape(k, ph * pw)
 
 
 @functools.lru_cache(maxsize=64)
