@@ -171,6 +171,22 @@ def main():
         parity[tag] = res["frac_bad"]
         parity[f"{tag}_ok"] = res["ok"]
 
+    # Large-mesh capability: 317,952-tri subdivided bunny through the
+    # HBM-streaming superchunk tier (ops.pallas.mesh_large), full-res oracle
+    # parity + frame time. First run on a machine pays ~2.5 min to parse and
+    # octree-build the mesh; a pickle cache makes later runs take seconds.
+    large = {}
+    try:
+        from relativitypathtracer_tpu.utils.largedemo import large_parity_and_time
+
+        large = large_parity_and_time(W, H)
+        log(f"large mesh ({large['tris']} tris): {large['frame_ms']:.1f} ms/frame, "
+            f"frac>1e-3 = {large['frac_bad']:.5f} (ok={large['ok']})")
+    except Exception as e:  # noqa: BLE001
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        large = {"error": str(e)[:120]}
+
     print(json.dumps({
         "metric": "total Mrays/s, bunny.txt 1024x768 (primary+shadow), p50",
         "value": round(mrays, 3),
@@ -182,6 +198,7 @@ def main():
         "baseline_frame_ms_p50": base["p50_ms"],
         "baseline_mrays": round(base_mrays, 3),
         "fullres_parity_frac_gt_1e3": parity,
+        "large_mesh": large,
         "platform": jax.default_backend(),
     }))
 

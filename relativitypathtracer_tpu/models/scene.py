@@ -76,6 +76,10 @@ class MeshStatic(NamedTuple):
     spheres: jnp.ndarray  # (n_chunks, 4) at TC granularity (shared kernel)
     gen_cols: jnp.ndarray  # (4*T_pad, 10)
     gen_spheres: jnp.ndarray  # (T_pad/TC_GEN, 4) general-kernel granularity
+    # Large-mesh tier (ops.pallas.mesh_large), None for small meshes:
+    sspheres: jnp.ndarray | None = None  # (C_s, 4) superchunk spheres
+    gen_rec: jnp.ndarray | None = None  # (C*REC_GEN, 128) lane-major DMA records
+    attrs_split: jnp.ndarray | None = None  # (C*REC_AT, 128) bf16-split records
 
 
 class MeshBatchStatic(NamedTuple):
@@ -350,6 +354,12 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
     )
     from ..ops.pallas.mesh_kernels import TC_GEN, chunk_spheres
 
+    def _large_t() -> int:
+        from ..ops.mesh_intersect import LARGE_MODE
+        from ..ops.pallas.mesh_large import LARGE_T
+
+        return -1 if LARGE_MODE else LARGE_T  # forced mode: everything large
+
     mesh_static = []
     for k, rng_pair in enumerate(tri_ranges):
         perm_arr = jnp.asarray(perms[k], jnp.int32) if perms[k] else None
@@ -359,19 +369,37 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
         T_k = tri_count(rng_pair, perm_arr)
         T_pad_k = _ru(max(T_k, 1), 256)
         A, B, C = mesh_tri_vertices(mesh, rng_pair, perm_arr)
+        attrs_k = tri_attr_matrix(mesh, rng_pair, T_pad_k, perm_arr)
+        spheres_k = chunk_spheres(A, B, C, T_k, T_pad_k)
+        gen_cols_k = general_ray_constants(mesh, rng_pair, perm_arr)[0]
+        extra = {}
+        if T_pad_k > _large_t():
+            # Large-mesh tier: superchunk ordering spheres, per-chunk DMA
+            # records and the bf16-split attr pool (ops.pallas.mesh_large).
+            from ..ops.pallas.mesh_kernels import split_bf16
+            from ..ops.pallas.mesh_large import (
+                pack_attr_records, pack_general_records, super_spheres)
+
+            extra = dict(
+                sspheres=super_spheres(spheres_k),
+                gen_rec=pack_general_records(gen_cols_k, T_pad_k),
+                attrs_split=pack_attr_records(split_bf16(attrs_k), T_pad_k),
+            )
         mesh_static.append(MeshStatic(
-            attrs=tri_attr_matrix(mesh, rng_pair, T_pad_k, perm_arr),
-            spheres=chunk_spheres(A, B, C, T_k, T_pad_k),
-            gen_cols=general_ray_constants(mesh, rng_pair, perm_arr)[0],
+            attrs=attrs_k,
+            spheres=spheres_k,
+            gen_cols=gen_cols_k,
             gen_spheres=chunk_spheres(A, B, C, T_k, T_pad_k, tc=TC_GEN),
+            **extra,
         ))
 
     # Fused multi-mesh pool (batched kernels): concat per-object statics,
     # re-grouping gen_cols by factor GLOBALLY so every kernel slice offset is
-    # uniform in the concatenated Tsum_pad.
+    # uniform in the concatenated Tsum_pad. Scenes containing a large-tier
+    # mesh keep the per-object kernel loop (the batch pools are VMEM-bound).
     mesh_batch = None
     chunk_counts = ()
-    if len(mesh_static) > 1:
+    if len(mesh_static) > 1 and all(ms.sspheres is None for ms in mesh_static):
         from ..ops.pallas.mesh_kernels import TC
 
         tpads = [ms.attrs.shape[0] for ms in mesh_static]

@@ -46,6 +46,20 @@ _PREC = jax.lax.Precision.HIGHEST
 # this must clear the render-fn caches (they close over the resolved mode).
 PALLAS_MODE = None
 
+# Routing override for the LARGE-mesh streaming kernels (HBM-resident
+# constants + superchunk ordering, ops.pallas.mesh_large). None = auto
+# (T_pad > mesh_large.LARGE_T); True/False force. Tests force True to
+# exercise the large path on small fixtures in interpret mode.
+LARGE_MODE = None
+
+
+def _resolve_large(T_pad: int) -> bool:
+    if LARGE_MODE is not None:
+        return bool(LARGE_MODE)
+    from .pallas.mesh_large import LARGE_T
+
+    return T_pad > LARGE_T
+
 
 def _resolve_pallas(use_pallas):
     if use_pallas is None:
@@ -220,9 +234,25 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
             A, B, C = mesh_tri_vertices(mesh, tri_range, perm)
             attrs = tri_attr_matrix(mesh, tri_range, T_pad, perm)
             spheres = chunk_spheres(A, B, C, T, T_pad)
-        out = shared_nearest_hit(
-            consts, c_t, attrs, spheres, dh, ro, interpret=interpret,
-            debug_iters=debug_iters)
+        if _resolve_large(T_pad):
+            from .pallas.mesh_kernels import split_bf16
+            from .pallas.mesh_large import (
+                large_shared_nearest_hit, pack_attr_records,
+                pack_shared_records, super_spheres)
+
+            ssph = (static.sspheres if static is not None
+                    and static.sspheres is not None else super_spheres(spheres))
+            attrs_rec = (static.attrs_split if static is not None
+                         and static.attrs_split is not None
+                         else pack_attr_records(split_bf16(attrs), T_pad))
+            consts_rec = pack_shared_records(consts, T_pad)
+            out = large_shared_nearest_hit(
+                consts_rec, attrs_rec, spheres, ssph, dh, ro, T=T,
+                interpret=interpret)
+        else:
+            out = shared_nearest_hit(
+                consts, c_t, attrs, spheres, dh, ro, interpret=interpret,
+                debug_iters=debug_iters)
         bt, bu, bv, btri, battr = out[:5]
         valid = btri >= 0  # kernel init is -1; any real hit overwrites it
         # attr(u, v) = base + u*du + v*dv (see tri_attr_matrix)
@@ -496,11 +526,29 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
             tcut_obj = jnp.where(valid,
                                  jnp.maximum(tmax_base * 0.999 - 1e-3, 0.0),
                                  0.0)
-        bt = general_min_t(cols, spheres, r10, tmax_obj, valid=valid,
-                           tcut_obj=tcut_obj, interpret=interpret,
-                           debug_iters=debug_iters)
-        if debug_iters:
-            bt, dbg_iters = bt
+        if _resolve_large(T_pad):
+            from .pallas.mesh_large import (
+                large_general_min_t, pack_general_records, super_spheres)
+
+            # Records are TC-granularity: use the TC chunk spheres (NOT
+            # gen_spheres, which follow TC_GEN if the two ever diverge).
+            sph_tc = static.spheres if static is not None else spheres
+            ssph = (static.sspheres if static is not None
+                    and static.sspheres is not None
+                    else super_spheres(sph_tc))
+            cols_rec = (static.gen_rec if static is not None
+                        and static.gen_rec is not None
+                        else pack_general_records(cols, T_pad))
+            bt = large_general_min_t(cols_rec, sph_tc, ssph, r10, tmax_obj,
+                                     valid=valid, tcut_obj=tcut_obj, T=T,
+                                     interpret=interpret)
+            dbg_iters = None
+        else:
+            bt = general_min_t(cols, spheres, r10, tmax_obj, valid=valid,
+                               tcut_obj=tcut_obj, interpret=interpret,
+                               debug_iters=debug_iters)
+            if debug_iters:
+                bt, dbg_iters = bt
     else:
         Tc = min(tri_chunk, T_pad)
         n_chunks = T_pad // Tc

@@ -1,0 +1,92 @@
+"""Large-mesh capability demo: subdivided-bunny scene, cached.
+
+Builds (once per machine, pickle-cached in the workdir) a >=100k-triangle
+scene from the shipped bunny via midpoint subdivision (utils.subdiv), routes
+it through the large-mesh kernel tier (ops.pallas.mesh_large -- the scene
+build adds the superchunk statics automatically above LARGE_T), and offers
+the measurement used by bench.py: frame time + full-res oracle parity.
+
+The reference reaches this scale through its depth-6 octree
+(/root/reference/Octree.cpp:171-248); the oracle (native/cpu_reference)
+implements that same algorithm, so the parity check validates the large tier
+end-to-end at production resolution.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import subprocess
+import time
+
+import numpy as np
+
+SRC_OBJ = os.environ.get("REF_ASSETS", "/root/reference") + "/Models/bunny.obj"
+LEVELS = 3  # 4,968 * 4^3 = 317,952 triangles
+
+
+def load_large_scene(workdir: str = "/tmp", levels: int = LEVELS):
+    """Returns (scene, meta) for the subdivided-bunny scene; the parsed
+    HostScene (OBJ parse + smooth normals + octree: ~2 min at 318k tris) is
+    pickle-cached so repeated bench runs pay seconds, not minutes."""
+    from relativitypathtracer_tpu import build_scene, load_scene_file
+    from relativitypathtracer_tpu.utils.subdiv import make_subdivided_scene
+
+    scene_txt = make_subdivided_scene(SRC_OBJ, levels, workdir=workdir)
+    cache = scene_txt + ".host.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            host = pickle.load(f)
+    else:
+        host = load_scene_file(scene_txt)
+        with open(cache, "wb") as f:
+            pickle.dump(host, f)
+    return build_scene(host)
+
+
+def large_parity_and_time(width: int = 1024, height: int = 768,
+                          frames: int = 12, workdir: str = "/tmp") -> dict:
+    """Render the large scene on the live backend: per-frame time (chained
+    frames, relay RTT subtracted) + full-res parity vs the C++ oracle."""
+    import jax.numpy as jnp
+
+    from relativitypathtracer_tpu.render import FrameState, build_render_fn
+    from relativitypathtracer_tpu.utils.parity import MAX_FRAC_BAD, _ensure_oracle
+    from relativitypathtracer_tpu.utils.scene_blob import write_scene_blob
+
+    scene, meta = load_large_scene(workdir=workdir)
+    assert scene.mesh_static[0].sspheres is not None, "large tier not engaged"
+    state = FrameState.initial()
+    render = build_render_fn(meta, width, height, meta.default_interval, 1)
+    img = render(scene, state)
+    _ = float(jnp.sum(img))
+    rtt = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(img))
+        rtt.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    for _i in range(frames):
+        img = render(scene, state)
+    _ = float(jnp.sum(img))
+    ms = (time.perf_counter() - t0 - min(rtt)) / frames * 1e3
+
+    blob = f"{workdir}/parity_large.blob"
+    out = f"{workdir}/parity_large.rgb"
+    write_scene_blob(blob, scene, meta, state, width, height)
+    subprocess.run([_ensure_oracle(), blob, out], check=True, capture_output=True)
+    ref = np.fromfile(out, np.float32).reshape(height, width, 3)
+    diff = np.abs(ref - np.asarray(img))
+    frac_bad = float(np.mean(diff.max(-1) > 1e-3))
+    return {
+        "tris": meta.num_tris,
+        "frame_ms": round(ms, 3),
+        "frac_bad": round(frac_bad, 6),
+        "ok": bool(frac_bad <= MAX_FRAC_BAD),
+    }
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(large_parity_and_time()))
