@@ -191,17 +191,28 @@ def _footprint_atlas(packed_texels: np.ndarray, texture_values: list, regions: l
         foot = np.stack(
             [tex[y0, x0], tex[y0, x1], tex[y1, x1], tex[y1, x2]], axis=-1
         )  # (rh, rw, 4)
-        # block-tiled slot: (by, bx, y&15, x&15) with rect dims padded to 16
+        # 16x16-texel tiles in MORTON order over the (pow2-padded) tile grid
+        # (ops.texture_layout): a screen block's 2D texel footprint then maps
+        # to a compact 1D row range, which the windowed-DMA texture kernel
+        # needs to walk large atlases in a few windows.
+        from ..ops.texture_layout import (
+            MAX_TILES_PER_AXIS, region_quads, region_tile_grid, tile_slot)
+
         wb = -(-rw // B)
         hb = -(-rh // B)
+        assert max(wb, hb) <= MAX_TILES_PER_AXIS, "texture axis > 4096 texels"
+        wb2, hb2 = region_tile_grid(np.int64(wb), np.int64(rh))
         tiled = np.zeros((hb * B, wb * B, 4), np.uint32)
         tiled[:rh, :rw] = foot
-        tiled = (
-            tiled.reshape(hb, B, wb, B, 4).transpose(0, 2, 1, 3, 4).reshape(-1, 4)
-        )
+        lx = np.broadcast_to(np.arange(wb * B)[None, :], (hb * B, wb * B))
+        ly = np.broadcast_to(np.arange(hb * B)[:, None], (hb * B, wb * B))
+        slot = tile_slot(lx.astype(np.int64), ly.astype(np.int64),
+                         np.int64(wb), np.int64(rh))
+        out = np.zeros((int(wb2 * hb2) * B * B, 4), np.uint32)
+        out[slot.reshape(-1)] = tiled.reshape(-1, 4)
         params[region] = (total, int(xl), int(yl), int(wb))
-        quads.append(tiled.astype(np.uint32))
-        total += hb * wb * B * B
+        quads.append(out)
+        total += int(region_quads(np.int64(wb), np.int64(rh)))
     if not quads:
         quads = [np.zeros((2, 4), np.uint32)]
     flat = np.concatenate(quads, axis=0).reshape(-1)  # 4 u32 per footprint

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..texture_layout import tile_slot
+
 NB = 1024  # rays per block (matches the mesh kernels' tile-major blocks)
 MAX_ROWS = 1024  # onehot (MAX_ROWS, NB) f32 = 4 MB VMEM
 
@@ -54,7 +56,7 @@ def _tex_kernel(quads_ref, uv_ref, fp_ref, wh_ref, out_ref):
     base_quad, rx, ry, wb, rw, rh = fp[0], fp[1], fp[2], fp[3], fp[4], fp[5]
     lx = jnp.clip(x0 - rx, 0, jnp.maximum(rw - 1, 0))
     ly = jnp.clip(y0 - ry, 0, jnp.maximum(rh - 1, 0))
-    slot = ((ly >> 4) * wb + (lx >> 4)) * 256 + (ly & 15) * 16 + (lx & 15)
+    slot = tile_slot(lx, ly, wb, rh)  # Morton tiles (ops.texture_layout)
     idx4 = jnp.clip((base_quad + slot) * 4, 0, rq * 8 - 4)
     row = idx4 >> 3  # (NB,)
     hi_half = (idx4 & 7) >= 4
@@ -139,11 +141,13 @@ def footprint_sample_small(quads, fp, width, height, uv, interpret=False):
 
 W_ROWS = 1024  # window rows (= W_GRP row-groups of 16 packed into 128 lanes)
 W_GRP = W_ROWS // 16
-# Routing cap for the windowed path: the per-block walk covers the block's
-# atlas ROW RANGE, so its worst case (a large textured surface under heavy
-# minification spreading every block across the whole atlas) scales with
-# atlas size; beyond this, the flat ~3ms XLA row gather is the safer floor.
-WINDOWED_MAX_ROWS = 200_000
+# Routing cap for the windowed path. With the Morton tile layout
+# (ops.texture_layout) a block's atlas ROW RANGE is proportional to its 2D
+# texel-footprint AREA, so even 1024^2 atlases (524k rows) walk a handful
+# of windows per block at moderate minification; the cap only guards
+# pathological spreads beyond the corpus (the flat ~3 ms XLA row gather is
+# the fallback floor).
+WINDOWED_MAX_ROWS = 1_100_000
 
 
 def _tex_window_kernel(quads_hbm, uv_ref, fp_ref, wh_ref, out_ref,
@@ -169,7 +173,7 @@ def _tex_window_kernel(quads_hbm, uv_ref, fp_ref, wh_ref, out_ref,
     base_quad, rx, ry, wb, rw, rh = fp[0], fp[1], fp[2], fp[3], fp[4], fp[5]
     lx = jnp.clip(x0 - rx, 0, jnp.maximum(rw - 1, 0))
     ly = jnp.clip(y0 - ry, 0, jnp.maximum(rh - 1, 0))
-    slot = ((ly >> 4) * wb + (lx >> 4)) * 256 + (ly & 15) * 16 + (lx & 15)
+    slot = tile_slot(lx, ly, wb, rh)  # Morton tiles (ops.texture_layout)
     idx4 = jnp.clip((base_quad + slot) * 4, 0, rq * 8 - 4)
     row = idx4 >> 3  # (NB,) in [0, rq)
     hi_half = (idx4 & 7) >= 4

@@ -89,12 +89,11 @@ def bilinear_sample_footprint(quads, fp, width, height, uv):
     # region-local coordinates; clamping is a no-op for addressable uvs
     lx = jnp.clip(x0 - rx, 0, jnp.maximum(rw - 1, 0))
     ly = jnp.clip(y0 - ry, 0, jnp.maximum(rh - 1, 0))
-    # block-tiled slot (16x16 texel blocks, rect dims padded to 16)
-    slot = (
-        ((ly >> 4) * wb + (lx >> 4)) * 256
-        + (ly & 15) * 16
-        + (lx & 15)
-    )
+    # Morton-tiled slot (ops.texture_layout): shared with the builder and
+    # the Pallas texture kernels.
+    from .texture_layout import tile_slot
+
+    slot = tile_slot(lx, ly, wb, rh)
     idx4 = jnp.clip((base_quad + slot) * 4, 0, quads.shape[0] * 8 - 4)
     rows = jnp.take(quads, idx4 >> 3, axis=0)  # (N, 8)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (n, 8), 1)

@@ -438,6 +438,35 @@ def tile_unswizzle(img_vec, ph, pw):
     return x.transpose(0, 1, 3, 5, 2, 4, 6).reshape(k, ph * pw)
 
 
+def msaa_swizzle(dirs_samples, ph, pw, m):
+    """Fold msaa^2 sample sets into the ray axis, patch-major: each
+    1024-lane kernel block covers a (32/m)^2-pixel patch WITH ALL ITS
+    SAMPLES (sample index minor), split into four 256-lane quadrants. The
+    per-pixel samples are near-identical rays, so block/sub-cones stay as
+    tight as (or tighter than) the msaa=1 tiles and traversal work grows
+    sublinearly in the sample count -- unlike the sequential per-sample
+    loop, which re-ran the whole pipeline msaa^2 times.
+
+    dirs_samples: (m*m, ph, pw, 3). Returns (3, ph*pw*m*m).
+    """
+    p = TILE // m  # pixel patch edge
+    h = p // 2
+    x = dirs_samples.transpose(3, 1, 2, 0)  # (3, ph, pw, S)
+    x = x.reshape(3, ph // p, 2, h, pw // p, 2, h, m * m)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # (3, pr, pc, qr, qc, r, c, S)
+    return x.reshape(3, ph * pw * m * m)
+
+
+def msaa_mean_unswizzle(vec, ph, pw, m):
+    """Average the folded samples and restore row-major pixel order.
+    vec: (k, ph*pw*m*m) in msaa_swizzle order. Returns (k, ph*pw)."""
+    k = vec.shape[0]
+    p = TILE // m
+    h = p // 2
+    x = vec.reshape(k, ph // p, pw // p, 2, 2, h, h, m * m).mean(axis=7)
+    return x.transpose(0, 1, 3, 5, 2, 4, 6).reshape(k, ph * pw)
+
+
 @functools.lru_cache(maxsize=64)
 def build_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
                     msaa: int = 1, with_aux: bool = False):
@@ -455,14 +484,21 @@ def build_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
 
     # Camera rays are state-independent (the camera sits at the origin of its
     # own frame; boosts happen per object): precompute them once, already
-    # tile-swizzled, and close over the device constant.
+    # swizzled, and close over the device constant.
     dirs = camera_ray_dirs(width, height, msaa, pad_width=pw, pad_height=ph)
-    dirs_samples = dirs[None] if msaa == 1 else dirs
-    dirs_const = jnp.stack(
-        [tile_swizzle(dirs_samples[s].reshape(-1, 3).T, ph, pw)
-         for s in range(dirs_samples.shape[0])]
-    )  # (S, 3, N)
-    dirs_const = jax.device_put(dirs_const)
+    folded = msaa in (2, 4, 8, 16)  # patch swizzle needs msaa | 32, patch >= 2
+    if msaa == 1:
+        dirs_const = jax.device_put(
+            tile_swizzle(dirs.reshape(-1, 3).T, ph, pw)[None])
+    elif folded:
+        # ONE shade pass over all msaa^2 samples folded into the ray axis
+        # (msaa_swizzle); the sequential per-sample loop re-ran every
+        # pipeline stage msaa^2 times.
+        dirs_const = jax.device_put(msaa_swizzle(dirs, ph, pw, msaa)[None])
+    else:
+        dirs_const = jax.device_put(jnp.stack(
+            [tile_swizzle(dirs[s].reshape(-1, 3).T, ph, pw)
+             for s in range(dirs.shape[0])]))  # (S, 3, N)
 
     def render(scene: Scene, state: FrameState):
         # f32 matmul semantics: TPU's default bf16-pass matmuls lose ~1e-3
@@ -472,13 +508,20 @@ def build_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
 
     def _render_body(scene: Scene, state: FrameState):
         L, inv_L, stat_cam = object_frames(scene.objects, state)
-        acc = jnp.zeros((3, ph * pw))
-        aux_acc = None
-        for s in range(dirs_const.shape[0]):
-            c, aux = shade(scene, meta, L, inv_L, stat_cam, dirs_const[s], interval)
-            acc = acc + c
-            aux_acc = aux if aux_acc is None else jax.tree.map(jnp.add, aux_acc, aux)
-        color = tile_unswizzle(acc / float(dirs_const.shape[0]), ph, pw)
+        if folded:
+            c, aux_acc = shade(scene, meta, L, inv_L, stat_cam, dirs_const[0],
+                               interval)
+            color = msaa_mean_unswizzle(c, ph, pw, msaa)
+        else:
+            acc = jnp.zeros((3, ph * pw))
+            aux_acc = None
+            for s in range(dirs_const.shape[0]):
+                c, aux = shade(scene, meta, L, inv_L, stat_cam, dirs_const[s],
+                               interval)
+                acc = acc + c
+                aux_acc = (aux if aux_acc is None
+                           else jax.tree.map(jnp.add, aux_acc, aux))
+            color = tile_unswizzle(acc / float(dirs_const.shape[0]), ph, pw)
         img = tonemap(color.T, scene.white_point).reshape(ph, pw, 3)
         img = img[:height, :width]
         if with_aux:

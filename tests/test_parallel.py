@@ -81,3 +81,25 @@ def test_sharded_uneven_height(cube_scene):
     sharded = np.asarray(render(scene, state))
     assert sharded.shape == (100, 96, 3)
     np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
+def test_sharded_msaa_and_aux(cube_scene):
+    """Folded-msaa + psum'd aux through shard_map: image matches the
+    single-device msaa render; aux totals are frame-wide on every device."""
+    scene, meta = cube_scene
+    W, H = 96, 64
+    state = FrameState.initial()
+    single = np.asarray(render_frame(scene, meta, state, W, H, msaa=2))
+    mesh = default_mesh(4)
+    render = build_sharded_render_fn(meta, W, H, meta.default_interval, mesh,
+                                     msaa=2, with_aux=True)
+    img, aux = render(scene, state)
+    np.testing.assert_allclose(np.asarray(img), single, atol=2e-5)
+    assert int(aux["hits"]) > 0
+    # totals equal the single-device aux (psum makes them frame-wide)
+    from relativitypathtracer_tpu.render import build_render_fn
+    build_render_fn.cache_clear()
+    _, aux_ref = build_render_fn(meta, W, H, meta.default_interval, 2,
+                                 with_aux=True)(scene, state)
+    assert int(aux["hits"]) == int(aux_ref["hits"])
+    assert int(aux["shadow_rays"]) == int(aux_ref["shadow_rays"])
