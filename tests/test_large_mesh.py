@@ -109,3 +109,25 @@ def test_subdivision_watertight():
     assert len(np.unique(arr.round(9), axis=0)) == len(arr)
     # all vertices stay on the z=0 plane (midpoints preserve the surface)
     assert np.abs(arr[:, 2]).max() == 0.0
+
+
+def test_large_path_multi_mesh(reference_root, force_large):
+    """Multi-mesh scene forced through the large tier: the scene build must
+    skip the (VMEM-bound) batch pool and the per-object kernel loop must
+    route every mesh through the large kernels, matching the small path."""
+    from tests.test_pallas_interpret import MULTI_SCENE
+    from relativitypathtracer_tpu.models.dsl import parse_scene
+
+    host = parse_scene(MULTI_SCENE, str(reference_root))
+    state = FrameState.initial()
+    W, H = 96, 64
+    scene_l, meta_l = build_scene(host)
+    assert scene_l.mesh_batch is None  # batch pool off for large-tier scenes
+    assert all(ms.sspheres is not None for ms in scene_l.mesh_static)
+    large = np.asarray(render_frame(scene_l, meta_l, state, W, H))
+
+    mesh_intersect.LARGE_MODE = False
+    build_render_fn.cache_clear()
+    scene_s, meta_s = build_scene(host)
+    small = np.asarray(render_frame(scene_s, meta_s, state, W, H))
+    np.testing.assert_allclose(large, small, atol=2e-5)
