@@ -34,6 +34,29 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _watchdog(seconds: float):
+    """Emit an honest error JSON line and exit if the run wedges (e.g. the
+    axon relay fails to grant a chip: PJRT client creation then blocks
+    forever and an external kill would leave NO artifact at all)."""
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "total Mrays/s, bunny.txt 1024x768 (primary+shadow), p50",
+            "value": 0.0,
+            "unit": "Mrays/s",
+            "vs_baseline": 0.0,
+            "error": f"bench wedged for {seconds:.0f}s (TPU relay unreachable?)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def _percentile(sorted_vals, q):
     """Linear-interpolated percentile of an ascending list (q in [0, 100])."""
     n = len(sorted_vals)
@@ -108,6 +131,10 @@ def measure_baseline(scene, meta):
 
 
 def main():
+    # 25 min covers worst case (first-run large-mesh cache build + relay
+    # retries); a wedge past that emits an error JSON instead of nothing.
+    wd = _watchdog(1500)
+
     import jax
 
     from relativitypathtracer_tpu import build_scene, load_scene_file
@@ -201,6 +228,7 @@ def main():
         "large_mesh": large,
         "platform": jax.default_backend(),
     }))
+    wd.cancel()
 
 
 if __name__ == "__main__":
