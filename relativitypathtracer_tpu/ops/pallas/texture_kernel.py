@@ -266,7 +266,9 @@ def footprint_sample_windowed(quads, fp, width, height, uv, interpret=False):
         kernel,
         grid=(n_pad // NB,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            # Explicit HBM: pl.ANY may try VMEM, and a 1024^2 atlas is
+            # ~16.7 MB -- beyond the ~16 MB/core budget.
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((6, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
