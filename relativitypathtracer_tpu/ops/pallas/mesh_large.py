@@ -220,7 +220,11 @@ def _shared_large_kernel(order_ref, minds_ref, count_ref, bits_ref, box_ref,
         i, p_cur, p_nxt, mb = state[:4]
         if DEBUG_NO_EARLYSTOP:
             return p_cur < end
-        return (p_cur < end) & (minds_ref[0, 0, order_ref[0, 0, p_cur // S]] < mb)
+        # p_cur == end (exhausted walk) would index one past the order
+        # window when every super is live; the & already rejects via
+        # p_cur < end, but the SMEM read must stay in bounds.
+        sid = order_ref[0, 0, jnp.minimum(p_cur // S, minds_ref.shape[2] - 1)]
+        return (p_cur < end) & (minds_ref[0, 0, sid] < mb)
 
     def body(state):
         i, p_cur, p_nxt, mb, best_t, best_u, best_v, best_tri, best_attr = state
@@ -396,7 +400,9 @@ def _general_large_kernel(order_ref, minds_ref, count_ref, bits_ref, box_ref,
 
     def cond(state):
         i, p_cur, p_nxt, mb = state[:4]
-        return (p_cur < end) & (minds_ref[0, 0, order_ref[0, 0, p_cur // S]] < mb)
+        # in-bounds clamp: see _shared_large_kernel.cond
+        sid = order_ref[0, 0, jnp.minimum(p_cur // S, minds_ref.shape[2] - 1)]
+        return (p_cur < end) & (minds_ref[0, 0, sid] < mb)
 
     def body(state):
         i, p_cur, p_nxt, mb, best_t = state
