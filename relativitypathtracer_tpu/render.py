@@ -295,13 +295,13 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
             tex_rgb = footprint_sample_small(
                 scene.tex_quads, fp, tex_w, tex_h, uv, interpret=interp)
         elif use_p and scene.tex_quads.shape[0] <= WINDOWED_MAX_ROWS:
-            # Mid-size atlas: per-block HBM-windowed DMA + one-hot fetch.
-            # Screen tiles touch compact atlas row ranges, so most blocks
-            # walk ~one 1024-row window (cube.txt texture fetch: ~3.9 ->
-            # ~1 ms); the row-range walk degrades under heavy minification
-            # (a large grazing textured surface), so atlases big enough to
-            # make that pathological (arch/cubes' 1024^2 textures) keep the
-            # XLA row gather, which is ~3ms flat regardless of coherence.
+            # Larger atlases: per-block HBM-windowed DMA + one-hot fetch.
+            # The atlas tiles are Morton-ordered (ops.texture_layout), so a
+            # screen block's 2D texel footprint maps to a row range
+            # proportional to its AREA -- most blocks walk ~one 1024-row
+            # window even on 1024^2 textures (cube.txt fetch: ~3.9 ->
+            # ~1 ms); beyond the routing cap the ~3ms-flat XLA row gather
+            # is the fallback floor.
             tex_rgb = footprint_sample_windowed(
                 scene.tex_quads, fp, tex_w, tex_h, uv, interpret=interp)
         else:
