@@ -31,35 +31,45 @@ NB = 1024  # rays per block (matches the mesh kernels' tile-major blocks)
 MAX_ROWS = 1024  # onehot (MAX_ROWS, NB) f32 = 4 MB VMEM
 
 
-def _tex_kernel(quads_ref, uv_ref, fp_ref, wh_ref, out_ref):
-    uv = uv_ref[:]  # (2, NB)
-    fp = fp_ref[:]  # (6, NB) i32: base rx ry wb rw rh
-    wh = wh_ref[:]  # (2, NB) i32
-    rq = quads_ref.shape[0]
-    nb = uv.shape[1]
+def _address_lanes(quads_rows, fp, width, height, uv):
+    """XLA-side footprint addressing: everything from uv to the atlas ROW id
+    (incl. the Morton tile_slot math) runs OUTSIDE the Pallas kernels, which
+    then consume precomputed per-lane (row, hi_half, u_ratio, v_ratio).
+    Keeping the address math out of Mosaic both shares it verbatim with the
+    XLA gather path and keeps exotic ops (per-lane-variable shifts in
+    tile_slot) away from the kernel compiler.
 
-    w = wh[0]
-    h = wh[1]
-    wf = w.astype(jnp.float32)
-    hf = h.astype(jnp.float32)
-    u = wf * uv[0]
-    v = hf * (1.0 - uv[1])
+    Returns (addr_i (2, N) i32 rows [row, hi_half], addr_f (2, N) f32 rows
+    [u_ratio, v_ratio])."""
+    w = width
+    h = height
+    u = w.astype(jnp.float32) * uv[0]
+    v = h.astype(jnp.float32) * (1.0 - uv[1])
     x = jnp.minimum(jnp.floor(u).astype(jnp.int32), w - 1)
     y = jnp.minimum(jnp.floor(v).astype(jnp.int32), h - 1)
     u_ratio = u - x.astype(jnp.float32)
     v_ratio = v - y.astype(jnp.float32)
-    u_opp = 1.0 - u_ratio
-    v_opp = 1.0 - v_ratio
     x0 = jnp.clip(x, 0, w - 1)
     y0 = jnp.clip(y, 0, h - 1)
-
     base_quad, rx, ry, wb, rw, rh = fp[0], fp[1], fp[2], fp[3], fp[4], fp[5]
     lx = jnp.clip(x0 - rx, 0, jnp.maximum(rw - 1, 0))
     ly = jnp.clip(y0 - ry, 0, jnp.maximum(rh - 1, 0))
     slot = tile_slot(lx, ly, wb, rh)  # Morton tiles (ops.texture_layout)
-    idx4 = jnp.clip((base_quad + slot) * 4, 0, rq * 8 - 4)
-    row = idx4 >> 3  # (NB,)
-    hi_half = (idx4 & 7) >= 4
+    idx4 = jnp.clip((base_quad + slot) * 4, 0, quads_rows * 8 - 4)
+    addr_i = jnp.stack([idx4 >> 3, ((idx4 & 7) >= 4).astype(jnp.int32)])
+    addr_f = jnp.stack([u_ratio, v_ratio])
+    return addr_i, addr_f
+
+
+def _tex_kernel(quads_ref, ai_ref, af_ref, out_ref):
+    rq = quads_ref.shape[0]
+    row = ai_ref[0, :]  # (NB,)
+    hi_half = ai_ref[1, :] != 0
+    u_ratio = af_ref[0, :]
+    v_ratio = af_ref[1, :]
+    u_opp = 1.0 - u_ratio
+    v_opp = 1.0 - v_ratio
+    nb = row.shape[0]
 
     # One-hot row fetch on the MXU: atlas^T (8, Rq) @ onehot (Rq, NB).
     onehot = (
@@ -102,10 +112,10 @@ def footprint_sample_small(quads, fp, width, height, uv, interpret=False):
     n = uv.shape[1]
     n_pad = -(-n // NB) * NB
     pad = n_pad - n
-    uv_p = jnp.pad(uv, ((0, 0), (0, pad)))
-    fp_p = jnp.pad(fp, ((0, 0), (0, pad)))
-    wh_p = jnp.pad(jnp.stack([width, height]), ((0, 0), (0, pad)), constant_values=1)
     rq = quads.shape[0]
+    addr_i, addr_f = _address_lanes(rq, fp, width, height, uv)
+    ai_p = jnp.pad(addr_i, ((0, 0), (0, pad)))
+    af_p = jnp.pad(addr_f, ((0, 0), (0, pad)))
     quads = jax.lax.bitcast_convert_type(quads, jnp.int32)  # values < 2^24
 
     out = pl.pallas_call(
@@ -114,13 +124,12 @@ def footprint_sample_small(quads, fp, width, height, uv, interpret=False):
         in_specs=[
             pl.BlockSpec((rq, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
         interpret=interpret,
-    )(quads, uv_p, fp_p, wh_p)
+    )(quads, ai_p, af_p)
     return out[:, :n]
 
 
@@ -150,33 +159,15 @@ W_GRP = W_ROWS // 16
 WINDOWED_MAX_ROWS = 1_100_000
 
 
-def _tex_window_kernel(quads_hbm, uv_ref, fp_ref, wh_ref, out_ref,
+def _tex_window_kernel(quads_hbm, ai_ref, af_ref, out_ref,
                        scratch, sem, *, rq: int):
-    uv = uv_ref[:]
-    fp = fp_ref[:]
-    wh = wh_ref[:]
-    nb = uv.shape[1]
-
-    w = wh[0]
-    h = wh[1]
-    u = w.astype(jnp.float32) * uv[0]
-    v = h.astype(jnp.float32) * (1.0 - uv[1])
-    x = jnp.minimum(jnp.floor(u).astype(jnp.int32), w - 1)
-    y = jnp.minimum(jnp.floor(v).astype(jnp.int32), h - 1)
-    u_ratio = u - x.astype(jnp.float32)
-    v_ratio = v - y.astype(jnp.float32)
+    row = ai_ref[0, :]  # (NB,) in [0, rq), precomputed (see _address_lanes)
+    hi_half = ai_ref[1, :] != 0
+    u_ratio = af_ref[0, :]
+    v_ratio = af_ref[1, :]
     u_opp = 1.0 - u_ratio
     v_opp = 1.0 - v_ratio
-    x0 = jnp.clip(x, 0, w - 1)
-    y0 = jnp.clip(y, 0, h - 1)
-
-    base_quad, rx, ry, wb, rw, rh = fp[0], fp[1], fp[2], fp[3], fp[4], fp[5]
-    lx = jnp.clip(x0 - rx, 0, jnp.maximum(rw - 1, 0))
-    ly = jnp.clip(y0 - ry, 0, jnp.maximum(rh - 1, 0))
-    slot = tile_slot(lx, ly, wb, rh)  # Morton tiles (ops.texture_layout)
-    idx4 = jnp.clip((base_quad + slot) * 4, 0, rq * 8 - 4)
-    row = idx4 >> 3  # (NB,) in [0, rq)
-    hi_half = (idx4 & 7) >= 4
+    nb = row.shape[0]
 
     # HBM layout packs 16 atlas rows per 128-lane scratch row: the DMA slice
     # is lane-aligned, and the one-hot contraction runs over ROW-GROUPS
@@ -249,13 +240,13 @@ def footprint_sample_windowed(quads, fp, width, height, uv, interpret=False):
     n = uv.shape[1]
     n_pad = -(-n // NB) * NB
     pad = n_pad - n
-    # Edge-replicate (not zero-fill): zero-padded lanes map to atlas
-    # row-group 0, dragging the final partial block's g_min to 0 and forcing
-    # it to walk the whole row range below its real lanes (perf only).
-    uv_p = jnp.pad(uv, ((0, 0), (0, pad)), mode="edge")
-    fp_p = jnp.pad(fp, ((0, 0), (0, pad)), mode="edge")
-    wh_p = jnp.pad(jnp.stack([width, height]), ((0, 0), (0, pad)), mode="edge")
     rq = max(-(-quads.shape[0] // 128) * 128, W_ROWS)
+    addr_i, addr_f = _address_lanes(quads.shape[0], fp, width, height, uv)
+    # Edge-replicate (not zero-fill): zero-padded lanes map to atlas row 0,
+    # dragging the final partial block's g_min down and forcing it to walk
+    # the whole row range below its real lanes (perf only).
+    ai_p = jnp.pad(addr_i, ((0, 0), (0, pad)), mode="edge")
+    af_p = jnp.pad(addr_f, ((0, 0), (0, pad)), mode="edge")
     quads_i = jax.lax.bitcast_convert_type(quads, jnp.int32)
     if rq > quads.shape[0]:
         quads_i = jnp.pad(quads_i, ((0, rq - quads.shape[0]), (0, 0)))
@@ -270,7 +261,6 @@ def footprint_sample_windowed(quads, fp, width, height, uv, interpret=False):
             # ~16.7 MB -- beyond the ~16 MB/core budget.
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -280,5 +270,5 @@ def footprint_sample_windowed(quads, fp, width, height, uv, interpret=False):
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(quads_i, uv_p, fp_p, wh_p)
+    )(quads_i, ai_p, af_p)
     return out[:, :n]
