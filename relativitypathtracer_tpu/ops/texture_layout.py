@@ -32,14 +32,6 @@ def _next_pow2(x):
     return x + 1
 
 
-def _log2_pow2(x):
-    """log2 of a power of two in [1, 256], elementwise."""
-    l = x * 0
-    for k in range(1, 9):
-        l = l + (x >= (1 << k))
-    return l
-
-
 def _interleave8(x):
     """Spread the low 8 bits of x to even bit positions."""
     x = (x | (x << 4)) & 0x0F0F
@@ -71,15 +63,19 @@ def _minimum(a, b):
 def tile_slot(lx, ly, wb, rh):
     """Footprint-quad slot of region-local texel (lx, ly): Morton tile index
     (square pow2 core, extra high bits of the longer axis appended above)
-    times 256, plus the row-major offset within the 16x16 tile."""
+    times 256, plus the row-major offset within the 16x16 tile.
+
+    NO per-lane-variable-amount shifts anywhere: TPU vector units have no
+    such instruction and the lowering (observed in both the XLA and Mosaic
+    compilers) can wedge; the high bits are extracted with an integer
+    division by the (power-of-two) core size instead."""
     tx = lx >> 4
     ty = ly >> 4
     wb2, hb2 = region_tile_grid(wb, rh)
     s = _minimum(wb2, hb2)
-    ls = _log2_pow2(s)
     sm1 = s - 1
     m = _interleave8(tx & sm1) | (_interleave8(ty & sm1) << 1)
-    extra = (tx >> ls) | (ty >> ls)  # only the longer axis has high bits
+    extra = (tx // s) | (ty // s)  # only the longer axis has high bits
     tile = extra * (s * s) + m
     return tile * 256 + (ly & 15) * 16 + (lx & 15)
 
