@@ -19,6 +19,7 @@ path. Used when Rq <= MAX_ROWS (VMEM budget: onehot is (Rq, NB) f32).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -157,6 +158,37 @@ W_GRP = W_ROWS // 16
 # pathological spreads beyond the corpus (the flat ~3 ms XLA row gather is
 # the fallback floor).
 WINDOWED_MAX_ROWS = 1_100_000
+
+
+def windowed_max_rows() -> int:
+    """Effective routing cap for the windowed kernel.
+
+    `RPT_WINDOWED_MAX_ROWS` overrides the default: `0` disables the windowed
+    path entirely (every atlas above MAX_ROWS takes the flat ~3 ms XLA row
+    gather -- the safe fallback if the windowed kernel misbehaves on a chip),
+    any other integer replaces the cap. Read at trace time: set it before
+    the first render compile of the process.
+    """
+    v = os.environ.get("RPT_WINDOWED_MAX_ROWS")
+    if v is not None and v.strip():
+        return int(v)
+    return WINDOWED_MAX_ROWS
+
+
+def texture_route(rq: int, use_pallas: bool) -> str:
+    """Pick the footprint-fetch implementation for an Rq-row atlas.
+
+    Returns "small" (VMEM-resident one-hot MXU kernel), "windowed"
+    (HBM-windowed DMA kernel) or "gather" (XLA row gather). Centralised so
+    the routing policy -- including the RPT_WINDOWED_MAX_ROWS escape hatch --
+    is a single tested function rather than inline conditionals."""
+    if not use_pallas:
+        return "gather"
+    if rq <= MAX_ROWS:
+        return "small"
+    if rq <= windowed_max_rows():
+        return "windowed"
+    return "gather"
 
 
 def _tex_window_kernel(quads_hbm, ai_ref, af_ref, out_ref,

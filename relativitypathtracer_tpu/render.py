@@ -284,24 +284,25 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     if meta.use_footprint_tex:
         from .ops.mesh_intersect import _resolve_pallas
         from .ops.pallas.texture_kernel import (
-            MAX_ROWS, WINDOWED_MAX_ROWS, footprint_sample_small,
-            footprint_sample_windowed)
+            footprint_sample_small, footprint_sample_windowed, texture_route)
 
         fp = jnp.stack([sel_i32(scene.tex_fp[:, k]) for k in range(6)])  # (6, N)
         use_p, interp = _resolve_pallas(None)
-        if use_p and scene.tex_quads.shape[0] <= MAX_ROWS:
+        route = texture_route(scene.tex_quads.shape[0], use_p)
+        if route == "small":
             # Small atlas: VMEM-resident one-hot MXU fetch (the XLA row
             # gather costs ~3ms/786k rays even on a 4KB table).
             tex_rgb = footprint_sample_small(
                 scene.tex_quads, fp, tex_w, tex_h, uv, interpret=interp)
-        elif use_p and scene.tex_quads.shape[0] <= WINDOWED_MAX_ROWS:
+        elif route == "windowed":
             # Larger atlases: per-block HBM-windowed DMA + one-hot fetch.
             # The atlas tiles are Morton-ordered (ops.texture_layout), so a
             # screen block's 2D texel footprint maps to a row range
             # proportional to its AREA -- most blocks walk ~one 1024-row
             # window even on 1024^2 textures (cube.txt fetch: ~3.9 ->
-            # ~1 ms); beyond the routing cap the ~3ms-flat XLA row gather
-            # is the fallback floor.
+            # ~1 ms); beyond the routing cap (RPT_WINDOWED_MAX_ROWS
+            # overrides; 0 disables) the ~3ms-flat XLA row gather is the
+            # fallback floor.
             tex_rgb = footprint_sample_windowed(
                 scene.tex_quads, fp, tex_w, tex_h, uv, interpret=interp)
         else:
