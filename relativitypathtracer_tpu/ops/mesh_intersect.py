@@ -70,6 +70,19 @@ def _resolve_pallas(use_pallas):
     return bool(use_pallas), interpret
 
 
+def _vma_like(init, like):
+    """Cast replicated constants in the pytree `init` to `like`'s
+    varying-manual-axes, so lax.scan/while carries initialized from constants
+    type-check under shard_map(check_vma=True): the carry starts replicated
+    but the body combines it with per-shard rays, and JAX's VMA typing
+    requires the init to already be declared varying."""
+    vma = getattr(jax.typeof(like), "vma", frozenset())
+    if not vma:
+        return init
+    return jax.tree.map(
+        lambda x: jax.lax.pcast(x, tuple(vma), to="varying"), init)
+
+
 def _cross_cols(a, b):
     """Cross product over the LAST axis for (T, 3) row-vectors."""
     return jnp.stack(
@@ -297,8 +310,8 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
         )
         return carry, None
 
-    init = (jnp.full((n,), INF), jnp.zeros((n,)), jnp.zeros((n,)),
-            jnp.zeros((n,), jnp.int32))
+    init = _vma_like((jnp.full((n,), INF), jnp.zeros((n,)), jnp.zeros((n,)),
+                      jnp.zeros((n,), jnp.int32)), dh)
     (bt, bu, bv, btri), _ = jax.lax.scan(chunk_step, init, jnp.arange(n_chunks))
 
     return finalize_best_hit(mesh, lo, m4, inv_m, o3, d3, ro, dh, bt, bu, bv, btri, perm)
@@ -563,7 +576,8 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
             dist, _, _ = _mt_accept(det, u_num, v_num, t_num, tri_ok[:, None])
             return jnp.minimum(best_t, jnp.min(dist, axis=0)), None
 
-        bt, _ = jax.lax.scan(chunk_step, jnp.full((n,), INF), jnp.arange(n_chunks))
+        bt, _ = jax.lax.scan(chunk_step, _vma_like(jnp.full((n,), INF), r10),
+                             jnp.arange(n_chunks))
         dbg_iters = None
 
     valid = bt < INF

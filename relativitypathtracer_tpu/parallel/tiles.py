@@ -2,18 +2,26 @@
 
 The reference is strictly single-device (one OpenCL device,
 /root/reference/CLSetup.cpp:86-98); its only parallelism is the flat NDRange
-over pixels. The TPU-native scale-out of that axis is data-parallel row-bands
-over an ICI mesh: each chip renders a horizontal band of the image with the
-scene pytree replicated, and the full frame materializes sharded across
-devices (an all-gather only happens if the host fetches it). The only
-in-frame collective is an optional psum of the tiny aux counters; rays never
-cross tiles.
+over pixels. The TPU-native scale-out of that axis is data parallelism over
+the renderer's 1024-lane kernel blocks (32x32 screen tiles, or (32/m)^2
+patches with folded MSAA samples): each chip renders an equal number of
+blocks with the scene pytree replicated, and the full frame materializes
+sharded across devices (an all-gather only happens if the host fetches it).
+The only in-frame collective is an optional psum of the tiny aux counters;
+rays never cross blocks.
+
+Blocks are dealt boustrophedon by default ("strided"), so every chip's
+blocks sample the whole image: scene geometry concentrates in the center of
+the frame (bunny's mesh spans ~the middle third), and contiguous row-bands
+leave edge chips idle while center chips carry all the mesh-walk work
+(measured 3.7x max/mean skew on bunny; block dealing holds it near 1).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.7 exposes shard_map at top level; fall back for older
@@ -23,25 +31,69 @@ except AttributeError:  # pragma: no cover
 
 from ..models.scene import Scene, SceneMeta
 from ..ops.camera import camera_ray_dirs
+from ..ops.mesh_intersect import _resolve_pallas
 from ..ops.tonemap import tonemap
 from ..render import (
-    FrameState, TILE, _round_up, msaa_mean_unswizzle, msaa_swizzle,
-    object_frames, shade, tile_swizzle, tile_unswizzle,
+    FrameState, TILE, _round_up, msaa_swizzle, object_frames, shade,
+    tile_swizzle,
 )
+
+LANES = TILE * TILE  # rays per kernel block
+
+
+def deal_blocks(n_dev: int, rows: int, cols: int, assign: str):
+    """Deal the frame's 1024-lane kernel blocks (a rows x cols patch grid in
+    patch-row-major order) to devices.
+
+    "contiguous": device b owns the b-th horizontal band of blocks -- simple,
+    but load-skewed for center-heavy scenes. "strided" (default): device b
+    owns the wrap-around DIAGONAL class (patch_r + patch_c) % n_dev == b, so
+    each device's blocks sweep both image axes evenly (a 1D deal over the
+    row-major order degenerates to stripes whenever n_dev divides the grid
+    pitch) and per-device work skew drops to per-block variance. When class
+    sizes are unequal the stable sort spills boundary blocks to the next
+    device, keeping counts exactly equal. The gathered output is
+    de-interleaved with the returned inverse permutation.
+    Returns (dev_blocks (n_dev, bpd) int64, inv (n_blocks,))."""
+    if assign not in ("contiguous", "strided"):
+        raise ValueError(f"band assign must be contiguous|strided, got {assign}")
+    n_blocks = rows * cols
+    if n_blocks % n_dev:
+        raise ValueError(f"{n_blocks} blocks not divisible by {n_dev} devices")
+    bpd = n_blocks // n_dev
+    if assign == "contiguous":
+        dev_blocks = np.arange(n_blocks, dtype=np.int64).reshape(n_dev, bpd)
+    else:
+        f = np.arange(n_blocks, dtype=np.int64)
+        cls = (f // cols + f % cols) % n_dev
+        dev_blocks = f[np.argsort(cls, kind="stable")].reshape(n_dev, bpd)
+    inv = np.argsort(dev_blocks.reshape(-1))
+    return dev_blocks, inv
+
+
+def _unswizzle_patches(vec, ph, pw, p):
+    """Inverse of the block-major quadrant-major pixel order: vec (k, ph*pw)
+    whose lanes run (patch_r, patch_c, quad_r, quad_c, r, c) -> row-major.
+    p = patch edge in pixels (TILE for msaa=1, TILE//m for folded msaa, whose
+    per-pixel sample groups have already been averaged away)."""
+    k = vec.shape[0]
+    h = p // 2
+    x = vec.reshape(k, ph // p, pw // p, 2, 2, h, h)
+    return x.transpose(0, 1, 3, 5, 2, 4, 6).reshape(k, ph * pw)
 
 
 def build_sharded_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
                             mesh: Mesh, axis: str = "tiles", msaa: int = 1,
-                            with_aux: bool = False):
-    """Compile a renderer that splits the image into horizontal bands across
-    `mesh` (1D). Returns render(scene, state) -> (H, W, 3) float image, or
+                            with_aux: bool = False, band_assign: str = "strided"):
+    """Compile a renderer that splits the frame's kernel blocks across `mesh`
+    (1D). Returns render(scene, state) -> (H, W, 3) float image, or
     (image, aux) when with_aux (aux counters psum'd over the mesh, so every
     device holds the frame totals -- the only in-frame collective).
 
-    The band height is padded so every device gets an equal multiple of the
-    32-pixel tile; the padding is cropped after the gather. msaa folds the
-    sample sets into each band's ray axis exactly like the single-device
-    renderer (render.msaa_swizzle); supported values are 1, 2, 4, 8, 16.
+    The image is padded so every device gets an equal number of 32x32 tiles;
+    the padding is cropped after the gather. msaa folds the sample sets into
+    each block's ray axis exactly like the single-device renderer
+    (render.msaa_swizzle); supported values are 1, 2, 4, 8, 16.
     """
     if msaa not in (1, 2, 4, 8, 16):
         raise ValueError(f"sharded renderer supports msaa in 1/2/4/8/16, got {msaa}")
@@ -49,35 +101,37 @@ def build_sharded_render_fn(meta: SceneMeta, width: int, height: int, interval: 
     pw = _round_up(width, TILE)
     band_h = _round_up(-(-height // n_dev), TILE)
     ph = band_h * n_dev
+    p = TILE // msaa  # patch edge in pixels
+    q = p * p  # pixels per block
+    n_blocks = (ph // p) * (pw // p)
+    bpd = n_blocks // n_dev
+    dev_blocks, inv_blocks = deal_blocks(n_dev, ph // p, pw // p, band_assign)
 
     # Same eager precompute as build_render_fn so per-pixel results match the
     # single-device renderer bit-for-bit (jit-fused dir math differs slightly).
     dirs = camera_ray_dirs(width, height, msaa, pad_width=pw, pad_height=ph)
     if msaa == 1:
-        dirs_bands = jnp.stack(
-            [tile_swizzle(dirs[b * band_h:(b + 1) * band_h].reshape(-1, 3).T,
-                          band_h, pw)
-             for b in range(n_dev)]
-        )  # (n_dev, 3, band_N)
+        full = tile_swizzle(dirs.reshape(-1, 3).T, ph, pw)
     else:
-        dirs_bands = jnp.stack(
-            [msaa_swizzle(dirs[:, b * band_h:(b + 1) * band_h], band_h, pw, msaa)
-             for b in range(n_dev)]
-        )  # (n_dev, 3, band_N * msaa^2)
+        full = msaa_swizzle(dirs, ph, pw, msaa)
+    full = full.reshape(3, n_blocks, LANES)
+    dirs_bands = jnp.stack(
+        [full[:, dev_blocks[b]].reshape(3, -1) for b in range(n_dev)]
+    )  # (n_dev, 3, bpd * LANES)
     dirs_bands = jax.device_put(dirs_bands)
 
     def band_render(scene: Scene, state: FrameState):
-        # Runs per-device: render rows [band * band_h, (band+1) * band_h).
+        # Runs per-device: render this device's dealt blocks.
         band = jax.lax.axis_index(axis)
         L, inv_L, stat_cam = object_frames(scene.objects, state)
         d = jax.lax.dynamic_index_in_dim(dirs_bands, band, 0, keepdims=False)
         with jax.default_matmul_precision("highest"):
             color, aux = shade(scene, meta, L, inv_L, stat_cam, d, interval)
-        if msaa == 1:
-            color = tile_unswizzle(color, band_h, pw)
-        else:
-            color = msaa_mean_unswizzle(color, band_h, pw, msaa)
-        img = tonemap(color.T, scene.white_point).reshape(band_h, pw, 3)
+        if msaa > 1:
+            # Block lanes run (quad_r, quad_c, r, c, sample): average the
+            # minor sample axis; pixels stay in block quadrant-major order.
+            color = color.reshape(3, bpd * q, msaa * msaa).mean(axis=2)
+        img = tonemap(color.T, scene.white_point).reshape(bpd, q, 3)
         if with_aux:
             # frame totals on every device; the frame's only collective
             return img, jax.tree.map(lambda x: jax.lax.psum(x, axis), aux)
@@ -87,33 +141,83 @@ def build_sharded_render_fn(meta: SceneMeta, width: int, height: int, interval: 
         band_render,
         mesh=mesh,
         in_specs=(P(), P()),  # scene + state replicated
-        # bands concatenate over rows; psum'd aux is replicated
+        # blocks concatenate over devices; psum'd aux is replicated
         out_specs=(P(axis, None, None), P()) if with_aux else P(axis, None, None),
-        # check_vma=True rejects the mesh fallback's lax.scan: its carries
-        # (best-hit accumulators initialized from constants) start replicated
-        # and become varying once combined with the per-band rays. Fixing it
-        # needs jax.lax.pvary on every scan/while carry init inside
-        # ops.mesh_intersect -- replication mistakes are instead covered by
-        # tests comparing sharded vs single-device renders bit-for-bit
-        # (tests/test_parallel.py), including the Pallas interpret kernels.
-        check_vma=False,
+        # Static replication checking is ON for the jnp path: scan/while
+        # carries initialized from constants inside ops.mesh_intersect are
+        # pcast to the rays' varying axes (ops.mesh_intersect._vma_like), so
+        # the whole frame type-checks. pallas_call cannot pass the check in
+        # jax 0.9 (its interpret-mode grid loop initializes output buffers
+        # without vma and its kernel tracer rejects mixed replicated/varying
+        # refs -- both fail with "open an issue ... pass check_vma=False"),
+        # so kernel-routed builds fall back to the dynamic coverage in
+        # tests/test_parallel.py (sharded vs single-device bitwise equality).
+        check_vma=not _resolve_pallas(None)[0],
     )
+
+    inv = jnp.asarray(inv_blocks)
 
     @jax.jit
     def render(scene: Scene, state: FrameState):
         out = sharded(scene, state)
         if with_aux:
-            img, aux = out
-            return img[:height, :width], aux
-        return out[:height, :width]
+            blocks, aux = out
+        else:
+            blocks = out
+        if band_assign != "contiguous":
+            blocks = blocks[inv]  # de-interleave the dealt blocks
+        vec = blocks.transpose(2, 0, 1).reshape(3, ph * pw)
+        img = _unswizzle_patches(vec, ph, pw, p)
+        img = img.reshape(3, ph, pw).transpose(1, 2, 0)[:height, :width]
+        return (img, aux) if with_aux else img
 
     return render
+
+
+def band_mesh_work(scene: Scene, meta: SceneMeta, width: int, height: int,
+                   n_dev: int, assign: str = "strided", state=None,
+                   interval: int | None = None):
+    """Per-device mesh-work proxy: primary rays whose nearest hit is a MESH
+    object, counted under the given block assignment. The mesh walk dominates
+    the frame budget (ROADMAP's bunny breakdown), so mesh-hit rays approximate
+    each device's share of the real work. Returns (counts (n_dev,) int64,
+    skew = max/mean). Used by tests/test_parallel.py to keep the default
+    assignment's skew bounded on bunny."""
+    from ..render import intersect_scene
+
+    if state is None:
+        state = FrameState.initial()
+    if interval is None:
+        interval = meta.default_interval
+    pw = _round_up(width, TILE)
+    band_h = _round_up(-(-height // n_dev), TILE)
+    ph = band_h * n_dev
+    n_blocks = (ph // TILE) * (pw // TILE)
+    dev_blocks, _ = deal_blocks(n_dev, ph // TILE, pw // TILE, assign)
+
+    dirs = camera_ray_dirs(width, height, 1, pad_width=pw, pad_height=ph)
+    d = tile_swizzle(dirs.reshape(-1, 3).T, ph, pw)  # (3, ph*pw)
+    L, inv_L, stat_cam = object_frames(scene.objects, state)
+    dir4 = jnp.concatenate(
+        [jnp.full((1, d.shape[1]), float(interval)), d], axis=0)
+    _, _, _, obj, did_hit = intersect_scene(scene, meta, L, stat_cam, dir4,
+                                            interval)
+    mesh_hit = did_hit & jnp.isin(obj, jnp.asarray(meta.mesh_ids, jnp.int32))
+    # Padding rows render but carry no real work: mask them out by row id.
+    row_img = jnp.broadcast_to(jnp.arange(ph, dtype=jnp.float32)[:, None],
+                               (ph, pw))
+    row = tile_swizzle(row_img.reshape(1, -1), ph, pw)[0]
+    work = (mesh_hit & (row < height)).astype(jnp.float32)
+    per_block = np.asarray(work.reshape(n_blocks, LANES).sum(axis=1))
+    counts = np.array([int(per_block[dev_blocks[b]].sum())
+                       for b in range(n_dev)])
+    mean = counts.mean()
+    skew = float(counts.max() / mean) if mean > 0 else 0.0
+    return counts, skew
 
 
 def default_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
-    import numpy as np
-
     return Mesh(np.array(devs), (axis,))

@@ -11,10 +11,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax.numpy as jnp
 import numpy as np
 
-from ..ops.relmath import add_velocity
 from ..render import FrameState
 
 KEY_W, KEY_A, KEY_S, KEY_D, KEY_Q, KEY_E, KEY_R, KEY_SPACE, KEY_I = range(9)
@@ -46,6 +44,22 @@ class SimState(NamedTuple):
         return SimState(frame=FrameState.initial(), interval=int(default_interval))
 
 
+def add_velocity_np(v1, v2):
+    """Host-side relativistic velocity composition: the same closed form as
+    ops.relmath.add_velocity (/root/reference/Vector.cpp:189-193), in numpy
+    float32. The interactive loop runs this every frame; doing it eagerly on
+    the device would cost one full round-trip PER OP over a TPU relay, for
+    math on two 3-vectors. tests/test_viewer.py pins equality with the jnp
+    implementation."""
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    one = np.float32(1.0)
+    gamma = one / np.float32(np.sqrt(one - np.float32(v1 @ v1)))
+    coef = gamma / (one + gamma)
+    num = v1 + v2 + coef * np.cross(v1, np.cross(v1, v2)).astype(np.float32)
+    return (num / (one + np.float32(v2 @ v1))).astype(np.float32)
+
+
 def step(sim: SimState, keys, frame_ms: float) -> SimState:
     """Advance one frame: velocity controls, pause/interval toggles, time.
 
@@ -53,7 +67,9 @@ def step(sim: SimState, keys, frame_ms: float) -> SimState:
     Velocity increments are tanh(frame_ms/5000) * direction, composed
     relativistically (Render.cpp:149-176); space/i act on key-down edges
     (Render.cpp:125-147); scene time advances by frame_ms/1000 when unpaused
-    (Render.cpp:177).
+    (Render.cpp:177). All math is host-side numpy: the resulting FrameState
+    is the jitted renderer's (tiny) traced input, and nothing here should
+    touch the device.
     """
     keys = [bool(k) for k in keys]
     paused = sim.paused
@@ -63,9 +79,9 @@ def step(sim: SimState, keys, frame_ms: float) -> SimState:
     if keys[KEY_I] and not sim.prev_i:
         interval = -(0 if interval else 1)  # toggles 0 <-> -1
 
-    vel = sim.frame.cam_velocity
+    vel = np.asarray(sim.frame.cam_velocity, np.float32)
     if keys[KEY_R]:
-        vel = jnp.zeros(3, jnp.float32)
+        vel = np.zeros(3, np.float32)
     else:
         dv = np.zeros(3, np.float32)
         for k in range(6):
@@ -73,11 +89,11 @@ def step(sim: SimState, keys, frame_ms: float) -> SimState:
                 dv += _KEY_DIRS[k]
         if np.linalg.norm(dv) != 0:
             dv = np.tanh(frame_ms / 5000.0) * dv / np.linalg.norm(dv)
-            vel = add_velocity(vel, jnp.asarray(dv))
+            vel = add_velocity_np(vel, dv.astype(np.float32))
 
-    pos = sim.frame.cam_pos
+    pos = np.asarray(sim.frame.cam_pos, np.float32)
     if not paused:
-        pos = pos + jnp.array([frame_ms / 1000.0, 0, 0, 0], jnp.float32)
+        pos = pos + np.array([frame_ms / 1000.0, 0, 0, 0], np.float32)
 
     return SimState(
         frame=FrameState(cam_velocity=vel, cam_pos=pos),

@@ -62,20 +62,20 @@ class ViewerCore:
         self._prev_t: float | None = None
         self.compiling = False  # surfaced in stats while a renderer builds
         self.fps = 0.0  # EMA, like the reference's commented-out readout
+        self.frame_count = 0  # monotone; lets clients count real frames
         self._warmed: set = set()
         # Warm the whole interactive path now, not on first use: jit compiles
-        # on first CALL, and the eager relativistic-velocity ops compile on
-        # the first movement key. Un-warmed, the first keypress stalls the
-        # loop for seconds (worse over a device relay) while stats keep
-        # serving pre-stall values -- confusing in a live viewer.
+        # on first CALL. Un-warmed, the first keypress stalls the loop for
+        # seconds (worse over a device relay) while stats keep serving
+        # pre-stall values -- confusing in a live viewer. step() itself is
+        # host-side numpy and needs no warming; exercising its branches here
+        # just produces a realistic moved state for the warm render below.
+        # Keys order: w a s d q e r space i.
         self._get_render(self.sim.interval)
         from .utils.framestate import step
 
-        # Exercise every step() branch once (all results discarded): space
-        # (pause flip + scene-time advance), movement (velocity composition),
-        # r (velocity reset). Keys order: w a s d q e r space i.
         warm = step(self.sim, [False] * 7 + [True, False], 16.0)
-        warm = step(warm, [True] * 6 + [False] * 3, 16.0)
+        warm = step(warm, [True] + [False] * 8, 16.0)  # single key: real dv
         step(warm, [False] * 6 + [True, False, False], 16.0)
         # ...and render once with a stepped state: its fields are eager jax
         # arrays (vs the initial numpy ones), so this absorbs any avals-
@@ -139,8 +139,10 @@ class ViewerCore:
         # deadlocking the frame loop over a device relay), so stats() serves
         # this host-side cache instead of touching self.sim.
         vel = np.asarray(self.sim.frame.cam_velocity)
+        self.frame_count += 1
         self._stats = {
             "fps": round(self.fps, 1),
+            "frame": self.frame_count,
             "paused": bool(self.sim.paused),
             "interval": int(self.sim.interval),
             "speed_c": round(float(np.linalg.norm(vel)), 4),
@@ -152,7 +154,7 @@ class ViewerCore:
 
     def stats(self) -> dict:
         s = dict(getattr(self, "_stats", None) or {
-            "fps": 0.0, "paused": bool(self.sim.paused),
+            "fps": 0.0, "frame": 0, "paused": bool(self.sim.paused),
             "interval": int(self.sim.interval), "speed_c": 0.0,
             "time_s": 0.0, "size": [self.width, self.height],
         })

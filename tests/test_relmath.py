@@ -121,3 +121,18 @@ def test_lorentz_pair_consistency():
     v = rand_velocity()[0]
     L, Linv = relmath.lorentz_pair(v)
     np.testing.assert_array_equal(np.asarray(Linv), np.asarray(relmath.lorentz(-v)))
+
+
+def test_add_velocity_np_matches_jnp():
+    """The viewer's host-side numpy composition (framestate.add_velocity_np)
+    must reproduce ops.relmath.add_velocity: the interactive key handling and
+    the renderer's boost chain share these velocities."""
+    from relativitypathtracer_tpu.utils.framestate import add_velocity_np
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        v1 = (rng.uniform(-0.6, 0.6, 3)).astype(np.float32)
+        v2 = (rng.uniform(-0.4, 0.4, 3)).astype(np.float32)
+        ref = np.asarray(relmath.add_velocity(v1, v2))
+        got = add_velocity_np(v1, v2)
+        np.testing.assert_allclose(got, ref, atol=2e-7)
