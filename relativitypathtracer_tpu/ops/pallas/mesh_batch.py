@@ -46,8 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mesh_kernels import (
-    INF, NB, TC, N_ATTR, _mt_mask, _round_up, _safe_inv, _sub_cone_cull,
-    bucket_order, chunk_interleave, split_bf16,
+    INF, NB, TC, N_ATTR, _mt_mask, _round_up, _safe_inv, _shadow_cull_mode,
+    _sub_cone_cull, bucket_order, chunk_interleave, split_bf16,
 )
 
 ROWS_SH = 8   # scratch rows per object, shared kernel: [dh(3), s(1), pad(4)]
@@ -113,7 +113,7 @@ def _fill_ray_scratch(mats_ref, d4, o4, scratch, rows: int, O: int):
 
 
 def live_chunk_lists_multi(spheres, chunk_counts, d_os, o_os, s_os,
-                           valid=None, enabled=None):
+                           valid=None, enabled=None, lane_bound_shared=None):
     """Fused live lists over the concatenated pool.
 
     spheres: (C, 4) object-space chunk spheres (object-major concat);
@@ -122,7 +122,10 @@ def live_chunk_lists_multi(spheres, chunk_counts, d_os, o_os, s_os,
     per-lane object->shared scale; valid: optional (n_pad,) bool;
     enabled: optional static bool tuple -- a disabled object's chunks are
     never live (how shadow rays exclude the light object itself, mirroring
-    the reference's `i == lightIndex` skip, opencl_kernel.cl:497).
+    the reference's `i == lightIndex` skip, opencl_kernel.cl:497);
+    lane_bound_shared: optional (n_pad,) f32 max useful SHARED ray parameter
+    per lane (e.g. a shadow ray's light distance) -- converted per object to
+    its own units for segment culling (mesh_kernels._sub_cone_cull).
     Returns (order, key, counts) rank-3 like mesh_kernels.live_chunk_lists,
     with `key` (bucket floors) in SHARED ray-parameter units.
     """
@@ -140,8 +143,12 @@ def live_chunk_lists_multi(spheres, chunk_counts, d_os, o_os, s_os,
         s = s_os[g].reshape(n_blocks, NB)
         if valid is not None:
             s = jnp.where(valid.reshape(n_blocks, NB), s, INF)
+        lb_g = None
+        if lane_bound_shared is not None:
+            # shared -> this object's units (t_shared = t_obj * s)
+            lb_g = lane_bound_shared / jnp.maximum(s_os[g], 1e-12)
         mind_g, over_g = _sub_cone_cull(spheres[c0:c0 + nck], d_os[g],
-                                        o_os[g], valid)
+                                        o_os[g], valid, lb_g)
         c0 += nck
         s_min = jnp.min(s, axis=1, keepdims=True)  # (B, 1) lower bound
         minds.append(mind_g * s_min)
@@ -430,7 +437,11 @@ def batched_min_t_general(cols, spheres, mats, origins4, dir4,
     o_p = jnp.pad(o_os, ((0, 0), (0, 0), (0, pad)))
     s_p = jnp.pad(s_os, ((0, 0), (0, pad)), constant_values=1.0)
     order, minds, counts = live_chunk_lists_multi(
-        spheres, chunk_counts, d_p, o_p, s_p, valid=valid_p, enabled=enabled)
+        spheres, chunk_counts, d_p, o_p, s_p, valid=valid_p, enabled=enabled,
+        # Segment culling with the caller's shared-unit bound (the per-object
+        # boxfar refinement of the single-mesh path is not worth O extra slab
+        # passes here; the in-kernel walk bound still applies it).
+        lane_bound_shared=None if _shadow_cull_mode() == "none" else tmax_p[0])
     chunk_obj = sum(((g,) * c for g, c in enumerate(chunk_counts)), ())
     cobj = jnp.asarray(chunk_obj, jnp.int32)[None, None, :]
     # Per-object chunk-union boxes (object space); disabled objects get an

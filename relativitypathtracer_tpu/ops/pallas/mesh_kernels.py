@@ -33,6 +33,7 @@ hits allowed, u/v in-triangle tests, dist >= 0.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -177,7 +178,7 @@ def bucket_order(mind, overlap):
     return order[:, None, :], key[:, None, :], counts[:, None, None]
 
 
-def live_chunk_lists(spheres, dh_p, o_p, valid=None):
+def live_chunk_lists(spheres, dh_p, o_p, valid=None, lane_bound=None):
     """Dense (block, chunk) culling + compaction, all outside the kernel.
 
     spheres: (n_chunks, 4); dh_p/o_p: (3, n_pad) unit dirs / origins.
@@ -185,16 +186,22 @@ def live_chunk_lists(spheres, dh_p, o_p, valid=None):
     origins/dirs may be garbage, e.g. miss-lane shadow rays) are excluded
     from the block bounding cones so they cannot blow up the cone radius and
     defeat culling for the block's real lanes.
+    lane_bound: optional (n_pad,) f32 -- each lane's maximum USEFUL ray
+    parameter (e.g. a shadow ray's light distance, or its union-box exit).
+    Rays are then culled as SEGMENTS: a chunk whose conservative min distance
+    exceeds every lane's bound in a sub-cone can only produce hits beyond
+    every lane's search bound, so dropping it is exact. Bounded culling both
+    shortens live lists and tightens the bucket spans the early-termination
+    floors are quantized on.
     Returns (order (n_blocks, n_chunks) i32 front-to-back live chunk ids,
              minds (n_blocks, n_chunks) f32 sorted chunk min-distances,
              counts (n_blocks, 1) i32 live counts).
     """
-    n_blocks = dh_p.shape[1] // NB
-    mind, overlap = _sub_cone_cull(spheres, dh_p, o_p, valid)
+    mind, overlap = _sub_cone_cull(spheres, dh_p, o_p, valid, lane_bound)
     return bucket_order(mind, overlap)
 
 
-def _sub_cone_cull(spheres, dh_p, o_p, valid=None):
+def _sub_cone_cull(spheres, dh_p, o_p, valid=None, lane_bound=None):
     """Cull at SUB-cone granularity (NB/SUB-lane groups -- compact 16x16
     pixel quads under the renderer's quadrant swizzle), then reduce to the
     kernels' NB-lane blocks: overlap = any sub overlaps, mind = min over
@@ -217,6 +224,13 @@ def _sub_cone_cull(spheres, dh_p, o_p, valid=None):
         # list and floors. Its lanes cannot hit anything: drop the sub.
         has_valid = jnp.any(valid.reshape(n_sub, nb), axis=1)
         over_s = over_s & has_valid[:, None]
+    if lane_bound is not None:
+        # Segment culling: mind_s <= min distance from ANY lane origin in the
+        # sub to the (o_rad-inflated) chunk sphere, so a chunk with
+        # mind_s > max lane bound is unreachable within every lane's search
+        # bound. The 1e-3 margin mirrors the kernels' own bound margins.
+        sub_bound = jnp.max(lane_bound.reshape(n_sub, nb), axis=1)  # (n_sub,)
+        over_s = over_s & (mind_s <= sub_bound[:, None] + 1e-3)
     C = mind_s.shape[1]
     over_s = over_s.reshape(n_sub // SUB, SUB, C)
     mind_s = jnp.where(over_s, mind_s.reshape(n_sub // SUB, SUB, C), INF)
@@ -432,6 +446,42 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False,
     return bt[0, :n], bu[0, :n], bv[0, :n], btri[0, :n], battr[:, :n]
 
 
+def _shadow_cull_mode() -> str:
+    """Segment-culling mode for the general (shadow) kernel's live lists.
+
+    "boxfar" (default): each lane's bound for CULLING is min(tmax, its exit
+    distance from the chunk-sphere union box) -- the same cap the kernel
+    applies to its walk, so list construction and walk agree.
+    "tmax": cull with the raw caller bound only (no extra slab pass).
+    "none": round-3 behavior (unbounded cull). Overridable per process via
+    RPT_SHADOW_CULL for on-chip A/B; read at trace time."""
+    v = os.environ.get("RPT_SHADOW_CULL", "").strip()
+    return v if v in ("none", "tmax", "boxfar") else "boxfar"
+
+
+def _general_lane_bound(tmax_lanes, r10_p, lo, hi):
+    """Per-lane culling bound for live_chunk_lists (see _shadow_cull_mode).
+
+    Mirrors the in-kernel tmax_eff: min(tmax, union-box far exit), with the
+    same margins, so culling never drops a chunk the walk could still use."""
+    mode = _shadow_cull_mode()
+    if mode == "none":
+        return None
+    if mode == "tmax":
+        return tmax_lanes
+    far = jnp.full_like(tmax_lanes, INF)
+    near = jnp.full_like(tmax_lanes, -INF)
+    for ax in range(3):
+        inv = _safe_inv(r10_p[ax])
+        t0 = (lo[ax] - r10_p[6 + ax]) * inv
+        t1 = (hi[ax] - r10_p[6 + ax]) * inv
+        near = jnp.maximum(near, jnp.minimum(t0, t1))
+        far = jnp.minimum(far, jnp.maximum(t0, t1))
+    hits_box = (near <= far) & (far > 0)
+    return jnp.minimum(tmax_lanes,
+                       jnp.where(hits_box, far * 1.001 + 1e-3, 0.0))
+
+
 def _general_kernel(order_ref, minds_ref, count_ref, box_ref, cols_ref,
                     r10_ref, tmax_ref, t_ref, *, T: int, T_pad: int):
     TC = TC_GEN
@@ -541,11 +591,12 @@ def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, valid=None,
                         jnp.pad(tcut_obj, (0, n_pad - n))])
     valid_p = None if valid is None else jnp.pad(valid, (0, n_pad - n))
     cols_grouped = chunk_interleave(cols_grouped, T_pad, 4, TC_GEN)
-    order, minds, counts = live_chunk_lists(
-        spheres, r10_p[0:3], r10_p[6:9], valid=valid_p)
     lo = jnp.min(spheres[:, :3] - spheres[:, 3:4], axis=0)
     hi = jnp.max(spheres[:, :3] + spheres[:, 3:4], axis=0)
     box = jnp.concatenate([lo, hi])[None, :]  # (1, 6) scalars
+    order, minds, counts = live_chunk_lists(
+        spheres, r10_p[0:3], r10_p[6:9], valid=valid_p,
+        lane_bound=_general_lane_bound(tmax_p[0], r10_p, lo, hi))
 
     kernel = functools.partial(_general_kernel, T=T_pad, T_pad=T_pad)
     bt = pl.pallas_call(

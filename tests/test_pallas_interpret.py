@@ -115,6 +115,39 @@ def test_interpret_general_kernel_tmax_semantics():
     assert np.all(t_k[~inside] >= tmax[~inside] * (1 - 1e-6))
 
 
+@pytest.mark.parametrize("mode", ["none", "tmax", "boxfar"])
+def test_general_kernel_segment_cull_modes(mode, monkeypatch):
+    """Segment-bounded live-list culling (RPT_SHADOW_CULL) must never change
+    an occlusion verdict: a chunk is dropped only when its conservative min
+    distance exceeds every lane's search bound, so all its hits land beyond
+    tmax for every lane. All three modes must agree with the jnp truth."""
+    from relativitypathtracer_tpu.ops.pallas import mesh_kernels
+
+    monkeypatch.setenv("RPT_SHADOW_CULL", mode)
+    mesh_kernels.general_min_t.clear_cache()  # mode is read at trace time
+    try:
+        rng = np.random.default_rng(17)
+        mesh = _soup_mesh(rng, 200)
+        m4 = np.eye(4, dtype=np.float32)
+        n = 1536
+        o = rng.uniform(-4, 4, (3, n)).astype(np.float32)
+        d = rng.normal(size=(3, n)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=0)
+        tmax = rng.uniform(0.2, 6.0, (n,)).astype(np.float32)
+        # plus fully-masked lanes (tmax 0), like irrelevant shadow lanes
+        tmax[: n // 8] = 0.0
+
+        t_true = np.asarray(mesh_intersect.mesh_min_t_general(
+            mesh, (0, 200), m4, m4, o, d, use_pallas=False))
+        t_k = np.asarray(mesh_intersect.mesh_min_t_general(
+            mesh, (0, 200), m4, m4, o, d, use_pallas="interpret", tmax=tmax))
+        inside = t_true < tmax
+        assert np.allclose(t_k[inside], t_true[inside], rtol=1e-5, atol=1e-6)
+        assert np.all(t_k[~inside] >= tmax[~inside] * (1 - 1e-6))
+    finally:
+        mesh_kernels.general_min_t.clear_cache()
+
+
 MULTI_SCENE = """MModels/triangle.obj
 MModels/pear.obj
 Om0
