@@ -134,20 +134,23 @@ def super_spheres(spheres, s=S_SUPER):
     return jnp.concatenate([ctr, rad[:, None]], axis=1)
 
 
-def large_live_lists(spheres, sspheres, dh_p, o_p, valid=None):
+def large_live_lists(spheres, sspheres, dh_p, o_p, valid=None,
+                     lane_bound=None):
     """Super-level front-to-back order + chunk-level live bits.
 
     Ordering (and its O(C_s^2) inversion) runs on superchunk spheres with
     the 256-lane sub-cones; the per-chunk tightness that the super tier
     gives up is recovered by a (B, C) block-cone overlap bitmask the kernel
-    consults with cheap scalar reads. Returns (order, minds, counts, bits).
-    """
+    consults with cheap scalar reads. lane_bound (optional (n_pad,) f32) is
+    each lane's maximum useful ray parameter -- segment culling at both
+    levels, see mesh_kernels.live_chunk_lists.
+    Returns (order, minds, counts, bits)."""
     order, minds, counts = (lambda mo: bucket_order(*mo))(
-        _sub_cone_cull(sspheres, dh_p, o_p, valid))
+        _sub_cone_cull(sspheres, dh_p, o_p, valid, lane_bound))
     # Chunk-level bits at sub-cone granularity too: 4x the cull flops of a
     # block-cone test (arrays are (4B, C)) but substantially fewer live
     # chunks per block, which the walk repays at ~1.5us/chunk.
-    _, over_c = _sub_cone_cull(spheres, dh_p, o_p, valid)
+    _, over_c = _sub_cone_cull(spheres, dh_p, o_p, valid, lane_bound)
     return order, minds, counts, pack_bits(over_c)[:, None, :]
 
 
@@ -462,11 +465,14 @@ def large_general_min_t(cols_rec, spheres, sspheres, r10, tmax_obj=None,
     tmax_p = jnp.stack([jnp.pad(tmax_obj, (0, n_pad - n)),
                         jnp.pad(tcut_obj, (0, n_pad - n))])
     valid_p = None if valid is None else jnp.pad(valid, (0, n_pad - n))
-    order, minds, counts, bits = large_live_lists(
-        spheres, sspheres, r10_p[0:3], r10_p[6:9], valid=valid_p)
     lo = jnp.min(spheres[:, :3] - spheres[:, 3:4], axis=0)
     hi = jnp.max(spheres[:, :3] + spheres[:, 3:4], axis=0)
     box = jnp.concatenate([lo, hi])[None, :]
+    from .mesh_kernels import _general_lane_bound
+
+    order, minds, counts, bits = large_live_lists(
+        spheres, sspheres, r10_p[0:3], r10_p[6:9], valid=valid_p,
+        lane_bound=_general_lane_bound(tmax_p[0], r10_p, lo, hi))
 
     C_s = sspheres.shape[0]
     kernel = functools.partial(_general_large_kernel, C=C, S=S_SUPER, T=T)
