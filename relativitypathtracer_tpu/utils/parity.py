@@ -77,14 +77,45 @@ def fullres_parity(name: str, width: int = 1024, height: int = 768,
     }
 
 
+ALL_SCENES = ("arch", "bunny", "cube", "cubes", "ladder_paradox", "rulers",
+              "shadows", "soccer")
+
+
 def main(argv: list[str]) -> int:
+    """`python -m relativitypathtracer_tpu.utils.parity [--out FILE]
+    [scenes...|all]` -- renders each scene at 1024x768 with both
+    implementations; with --out, writes the per-scene results (plus backend
+    and package version) as one JSON artifact (e.g. PARITY_r04.json)."""
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     names = argv or ["bunny", "shadows"]
+    if names == ["all"]:
+        names = list(ALL_SCENES)
     rc = 0
+    results = []
     for name in names:
         res = fullres_parity(name)
         print(json.dumps(res), flush=True)
+        results.append(res)
         if not res["ok"]:
             rc = 1
+    if out_path:
+        import jax
+
+        from relativitypathtracer_tpu import __version__
+
+        pathlib.Path(out_path).write_text(json.dumps({
+            "resolution": "1024x768",
+            "max_frac_bad": MAX_FRAC_BAD,
+            "platform": jax.default_backend(),
+            "version": __version__,
+            "scenes": results,
+            "ok": rc == 0,
+        }, indent=1))
+        print(f"wrote {out_path}", flush=True)
     return rc
 
 
