@@ -141,6 +141,9 @@ def main():
     import jax
 
     from relativitypathtracer_tpu import __version__, build_scene, load_scene_file
+    from relativitypathtracer_tpu.utils.jaxcache import enable as _enable_cache
+
+    _enable_cache()  # share compiles with the round's other on-chip tools
 
     scene_path = REF / "Scenes" / "bunny.txt"
     log(f"loading {scene_path}")

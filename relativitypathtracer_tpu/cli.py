@@ -59,6 +59,9 @@ def main(argv=None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from .utils.jaxcache import enable as _enable_cache
+
+    _enable_cache()  # repeat compiles across processes hit disk, not XLA
     import jax.numpy as jnp
 
     from . import FrameState, build_render_fn, build_scene, load_scene_file, parse_scene

@@ -470,10 +470,16 @@ def msaa_mean_unswizzle(vec, ph, pw, m):
 
 @functools.lru_cache(maxsize=64)
 def build_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
-                    msaa: int = 1, with_aux: bool = False):
+                    msaa: int = 1, with_aux: bool = False,
+                    out_uint8: bool = False):
     """Compile a frame renderer specialized to (scene meta, resolution,
     interval). Returns render(scene, state) -> (H, W, 3) float image
     (bottom-up row order, matching the reference's GL output).
+
+    out_uint8 packs the frame to uint8 ON DEVICE (same truncation semantics
+    as utils.image.to_uint8): the interactive viewer fetches 1.5 MB/frame
+    over the TPU relay instead of 6 MB of f32 -- the reference's analog is
+    the GL buffer never leaving the GPU (gl_interop.cpp:51-67).
 
     Internally the pixel grid is padded to 32x32 tiles and rays are processed
     in tile-major order, so every 1024-ray block seen by the Pallas mesh
@@ -525,6 +531,8 @@ def build_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
             color = tile_unswizzle(acc / float(dirs_const.shape[0]), ph, pw)
         img = tonemap(color.T, scene.white_point).reshape(ph, pw, 3)
         img = img[:height, :width]
+        if out_uint8:
+            img = (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
         if with_aux:
             return img, aux_acc
         return img

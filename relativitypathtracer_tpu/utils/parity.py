@@ -86,6 +86,9 @@ def main(argv: list[str]) -> int:
     [scenes...|all]` -- renders each scene at 1024x768 with both
     implementations; with --out, writes the per-scene results (plus backend
     and package version) as one JSON artifact (e.g. PARITY_r04.json)."""
+    from .jaxcache import enable as _enable_cache
+
+    _enable_cache()
     out_path = None
     if "--out" in argv:
         i = argv.index("--out")

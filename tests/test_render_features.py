@@ -77,3 +77,21 @@ def test_velocity_composition_stays_subluminal():
     for _ in range(100):
         sim = framestate.step(sim, keys, 2000.0)
     assert float(jnp.linalg.norm(sim.frame.cam_velocity)) < 1.0
+
+
+def test_render_uint8_matches_host_packing(reference_root):
+    """out_uint8 packs on device with exactly utils.image.to_uint8 semantics
+    (the viewer fetches uint8 frames -- 4x less relay traffic)."""
+    from relativitypathtracer_tpu import FrameState, build_scene, load_scene_file
+    from relativitypathtracer_tpu.render import build_render_fn
+    from relativitypathtracer_tpu.utils.image import to_uint8
+
+    host = load_scene_file(str(reference_root / "Scenes" / "cube.txt"))
+    scene, meta = build_scene(host)
+    state = FrameState.initial()
+    build_render_fn.cache_clear()
+    f32 = build_render_fn(meta, 96, 64, meta.default_interval)(scene, state)
+    u8 = build_render_fn(meta, 96, 64, meta.default_interval,
+                         out_uint8=True)(scene, state)
+    assert np.asarray(u8).dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(u8), to_uint8(np.asarray(f32)))

@@ -18,6 +18,9 @@ if __name__ == "__main__":
     import jax.numpy as jnp
 
     from relativitypathtracer_tpu import build_scene, load_scene_file
+    from relativitypathtracer_tpu.utils.jaxcache import enable as _enable_cache
+
+    _enable_cache()
     from relativitypathtracer_tpu.render import FrameState, build_render_fn
 
     name = sys.argv[1] if len(sys.argv) > 1 else "bunny"

@@ -76,6 +76,9 @@ def main(argv=None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from relativitypathtracer_tpu.utils.jaxcache import enable as _enable_cache
+
+    _enable_cache()
 
     from relativitypathtracer_tpu.models.dsl import load_scene_file
     from relativitypathtracer_tpu.viewer import ViewerCore, run_web
