@@ -28,6 +28,8 @@ the reference.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -64,6 +66,16 @@ def _resolve_large(T_pad: int) -> bool:
 def _resolve_pallas(use_pallas):
     if use_pallas is None:
         use_pallas = PALLAS_MODE
+    if use_pallas is None:
+        # Env hook for tools (e.g. RPT_PALLAS=interpret runs the production
+        # kernel bodies on a CPU host for walk statistics); read at trace time.
+        env = os.environ.get("RPT_PALLAS", "").strip().lower()
+        if env in ("1", "true", "on"):
+            use_pallas = True
+        elif env in ("0", "false", "off"):
+            use_pallas = False
+        elif env == "interpret":
+            use_pallas = "interpret"
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     interpret = use_pallas == "interpret"

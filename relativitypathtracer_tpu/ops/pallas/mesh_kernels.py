@@ -91,7 +91,11 @@ def _cones_of(dh_blocks, o_blocks):
     return oc, axis, cos_a, o_rad
 
 
-SUB = 4  # culling sub-cones per NB-lane kernel block (256-lane 16x16 quads)
+# Culling sub-cones per NB-lane kernel block. 4 = 256-lane 16x16 pixel quads
+# (matches the tile swizzle's quadrant-major layout); 8/16 halve the lanes
+# per cone again (16x8 / 8x8 strips within a quadrant) -- tighter cones,
+# 2-4x the cull flops. RPT_SUB overrides for on-chip A/B (trace-time).
+SUB = int(os.environ.get("RPT_SUB", "4") or 4)
 
 
 def _mask_invalid_lanes(d, o, valid):

@@ -40,6 +40,9 @@ STEPS = [
      540, {}),
     ("shadows_cull_none", ["python", "tools/frametime.py", "shadows", "1024x768", "3"],
      540, {"RPT_SHADOW_CULL": "none"}),
+    # sub-cone granularity A/B (tighter cones vs 2x cull flops)
+    ("bunny_sub8", ["python", "tools/frametime.py", "bunny", "1024x768", "3"],
+     540, {"RPT_SUB": "8"}),
     # folded-MSAA sublinearity (VERDICT item 6): msaa=2 and 4 vs the msaa=1
     # bunny row above; target msaa=4 <= ~2.5x msaa=1.
     ("bunny_msaa2", ["python", "tools/frametime.py", "bunny", "1024x768", "3", "2"],
