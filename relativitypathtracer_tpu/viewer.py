@@ -63,6 +63,7 @@ class ViewerCore:
         self.compiling = False  # surfaced in stats while a renderer builds
         self.fps = 0.0  # EMA, like the reference's commented-out readout
         self.frame_count = 0  # monotone; lets clients count real frames
+        self._pending = None  # one-frame device pipeline (see frame())
         self._warmed: set = set()
         # Warm the whole interactive path now, not on first use: jit compiles
         # on first CALL. Un-warmed, the first keypress stalls the loop for
@@ -118,6 +119,14 @@ class ViewerCore:
 
         keys_down: iterable of chars from KEY_CHARS currently held.
         Returns (H, W, 3) uint8, top-down (display order).
+
+        The device pipeline is one frame deep: jax dispatch is async, so the
+        NEW frame's kernels run while the PREVIOUS frame's bytes stream back
+        to the host -- over a TPU relay the fetch costs a full round trip,
+        and overlapping it with compute nearly doubles sustained fps. The
+        displayed image therefore lags the sim state by one frame (~15 ms at
+        the reference cadence); sim state itself (and /stats) is always
+        current.
         """
         from .utils.framestate import step
 
@@ -130,7 +139,12 @@ class ViewerCore:
         self.sim = step(self.sim, keys, frame_ms)
         render = self._get_render(self.sim.interval)  # compiles once per config
         t0 = time.perf_counter()
-        img = render(self.scene, self.sim.frame)
+        img_dev = render(self.scene, self.sim.frame)  # async dispatch
+        pending = self._pending
+        if pending is None or pending.shape != img_dev.shape:
+            pending = img_dev  # first frame / resize or 'i' swap: no overlap
+        self._pending = img_dev
+        img = pending
         img.block_until_ready()
         dt = time.perf_counter() - t0
         inst = 1.0 / max(dt, 1e-6)
