@@ -98,6 +98,19 @@ def _cones_of(dh_blocks, o_blocks):
 SUB = int(os.environ.get("RPT_SUB", "4") or 4)
 
 
+def _pair_mode() -> bool:
+    """Chunk PAIRING: process two live chunks per while-loop iteration.
+
+    Keeps the 32-tri culling/bucketing granularity (a TC=64 re-chunk loses
+    cull precision -- measured -0.6ms round 3) while halving the number of
+    loop iterations and their fixed scalar overhead (SMEM order/floor reads,
+    bound reduction, trip bookkeeping). The pair is exact: the second chunk
+    of a pair may execute one step past the early-termination bound, which
+    can only ADD candidate hits that lose the min. RPT_PAIR=1 enables; read
+    at trace time (A/B via one process per mode, like RPT_SHADOW_CULL)."""
+    return os.environ.get("RPT_PAIR", "").strip() == "1"
+
+
 def _mask_invalid_lanes(d, o, valid):
     """Replace masked lanes' (garbage) rays with the block mean so they
     cannot blow up the block bounding cones. d/o: (3, n_blocks, nb)."""
@@ -279,7 +292,7 @@ def _mt_mask(det, u, v, dist, tri_ok):
 def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
                    attr_ref, dh_ref,
                    t_ref, u_ref, v_ref, tri_ref, attr_out_ref,
-                   *, T: int, T_pad: int):
+                   *, T: int, T_pad: int, pair: bool = False):
     """Iterate this block's live chunks (front-to-back) with a while loop
     of dynamic trip count -- culled chunks genuinely cost nothing, and the
     walk stops early once every lane's current bound is nearer than the next
@@ -312,9 +325,11 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
         j, mb = state[0], state[1]
         return (j < n_live) & (minds_ref[0, 0, order_ref[0, 0, j]] < mb)
 
-    def body(state):
-        j, mb, best_t, best_u, best_v, best_tri, best_attr = state
-        k = order_ref[0, 0, j]
+    def chunk_uvdist(k, live):
+        """One chunk's Moller-Trumbore candidates: (u, v, dist) each (Tc, NB);
+        dist is INF outside the acceptance mask (or everywhere when the
+        traced scalar `live` is False -- the duplicate half of an odd-count
+        pair)."""
         base = k * TC
         # Per-chunk INTERLEAVED det/u/v rows (see chunk_interleave).
         blk = consts_ref[pl.ds(3 * base, 3 * TC), :]
@@ -337,11 +352,29 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
         v = v_num * inv_det
         dist = ct[:, None] * inv_det
         tri_ok = (base + jax.lax.broadcasted_iota(jnp.int32, (TC, nb), 0)) < T
-        dist = jnp.where(_mt_mask(det, u, v, dist, tri_ok), dist, INF)
+        ok = _mt_mask(det, u, v, dist, tri_ok) & live
+        return u, v, jnp.where(ok, dist, INF)
+
+    def body(state):
+        j, mb, best_t, best_u, best_v, best_tri, best_attr = state
+        k0 = order_ref[0, 0, j]
+        if pair:
+            # Two live chunks per iteration (see _pair_mode). Odd tail: k1
+            # duplicates k0 with live=False, masking its candidates to INF.
+            live1 = (j + 1) < n_live
+            k1 = order_ref[0, 0, jnp.minimum(j + 1, n_live - 1)]
+            u0, v0, d0 = chunk_uvdist(k0, True)
+            u1, v1, d1 = chunk_uvdist(k1, live1)
+            u = jnp.concatenate([u0, u1], axis=0)
+            v = jnp.concatenate([v0, v1], axis=0)
+            dist = jnp.concatenate([d0, d1], axis=0)
+        else:
+            u, v, dist = chunk_uvdist(k0, True)
+        rows = dist.shape[0]  # TC or 2*TC
         dmin = jnp.min(dist, axis=0)
         better = dmin < best_t
         idx = jnp.argmin(dist, axis=0)  # (NB,)
-        onehot = jax.lax.broadcasted_iota(jnp.int32, (TC, nb), 0) == idx[None, :]
+        onehot = jax.lax.broadcasted_iota(jnp.int32, (rows, nb), 0) == idx[None, :]
         onehot_f = jnp.where(onehot, 1.0, 0.0)
         umin = jnp.sum(jnp.where(onehot, u, 0.0), axis=0)
         vmin = jnp.sum(jnp.where(onehot, v, 0.0), axis=0)
@@ -350,7 +383,14 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
         # the attr values (see split_bf16: recovers ~16 mantissa bits).
         # A single f32 dot is either bf16-truncated (DEFAULT) or 3x slower
         # (HIGHEST); a Tc-step VPU accumulation costs ~1us/iteration.
-        attrs = attr_ref[pl.ds(base, TC), :]  # (Tc, 30) [hi | lo]
+        if pair:
+            attrs = jnp.concatenate(
+                [attr_ref[pl.ds(k0 * TC, TC), :], attr_ref[pl.ds(k1 * TC, TC), :]],
+                axis=0)  # (2Tc, 30) [hi | lo]
+            tri_id = jnp.where(idx < TC, k0 * TC + idx, k1 * TC + (idx - TC))
+        else:
+            attrs = attr_ref[pl.ds(k0 * TC, TC), :]  # (Tc, 30) [hi | lo]
+            tri_id = k0 * TC + idx
         attr_sel = (
             jax.lax.dot_general(attrs[:, :N_ATTR], onehot_f,
                                 (((0,), (0,)), ((), ())),
@@ -363,12 +403,12 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
         )  # (15, NB)
         new_t = jnp.where(better, dmin, best_t)
         return (
-            j + 1,
+            j + (2 if pair else 1),
             jnp.max(jnp.minimum(new_t, bound_vec)),
             new_t,
             jnp.where(better, umin, best_u),
             jnp.where(better, vmin, best_v),
-            jnp.where(better, base + idx, best_tri),
+            jnp.where(better, tri_id, best_tri),
             jnp.where(better[None, :], attr_sel, best_attr),
         )
 
@@ -418,7 +458,8 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False,
     hi = jnp.max(spheres[:, :3] + spheres[:, 3:4], axis=0)
     box = jnp.concatenate([lo, hi, ro])[None, :]  # (1, 9) scalars
 
-    kernel = functools.partial(_shared_kernel, T=T_pad, T_pad=T_pad)
+    kernel = functools.partial(_shared_kernel, T=T_pad, T_pad=T_pad,
+                               pair=_pair_mode())
     t_rows = 2 if debug_iters else 1
     out_vec = pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
     bt, bu, bv, btri, battr = pl.pallas_call(
@@ -487,7 +528,8 @@ def _general_lane_bound(tmax_lanes, r10_p, lo, hi):
 
 
 def _general_kernel(order_ref, minds_ref, count_ref, box_ref, cols_ref,
-                    r10_ref, tmax_ref, t_ref, *, T: int, T_pad: int):
+                    r10_ref, tmax_ref, t_ref, *, T: int, T_pad: int,
+                    pair: bool = False):
     TC = TC_GEN
     r10 = r10_ref[:]  # (10, NB)
     nb = r10.shape[1]
@@ -526,9 +568,9 @@ def _general_kernel(order_ref, minds_ref, count_ref, box_ref, cols_ref,
         j, mb = state[0], state[1]
         return (j < n_live) & (minds_ref[0, 0, order_ref[0, 0, j]] < mb)
 
-    def body(state):
-        j, mb, best_t = state
-        k = order_ref[0, 0, j]
+    def chunk_min(k, live):
+        """One chunk's per-lane min candidate distance (INF when `live` is
+        the traced-False duplicate half of an odd-count pair)."""
         base = k * TC
         # Structured VPU FMAs instead of one (4*Tc, 10) MXU pass: the
         # factor operators are sparse in the Plucker lift (det uses r10[0:3],
@@ -552,13 +594,24 @@ def _general_kernel(order_ref, minds_ref, count_ref, box_ref, cols_ref,
         v = v_num * inv_det
         dist = t_num * inv_det
         tri_ok = (base + jax.lax.broadcasted_iota(jnp.int32, (TC, nb), 0)) < T
-        dist = jnp.where(_mt_mask(det, u, v, dist, tri_ok), dist, INF)
-        new_t = jnp.minimum(best_t, jnp.min(dist, axis=0))
+        ok = _mt_mask(det, u, v, dist, tri_ok) & live
+        return jnp.min(jnp.where(ok, dist, INF), axis=0)
+
+    def body(state):
+        j, mb, best_t = state
+        k0 = order_ref[0, 0, j]
+        new_t = jnp.minimum(best_t, chunk_min(k0, True))
+        if pair:
+            # Two live chunks per iteration (see _pair_mode); the odd tail
+            # duplicates k0 with live=False (all-INF candidates).
+            live1 = (j + 1) < n_live
+            k1 = order_ref[0, 0, jnp.minimum(j + 1, n_live - 1)]
+            new_t = jnp.minimum(new_t, chunk_min(k1, live1))
         # Search bounded at min(tmax, box exit): occluders beyond either are
         # irrelevant / impossible, so chunks past the bound stop the walk.
         # Lanes already provably occluded (hit < tcut) contribute nothing.
         live_bound = jnp.where(new_t < tcut, 0.0, jnp.minimum(new_t, tmax_eff))
-        return j + 1, jnp.max(live_bound), new_t
+        return j + (2 if pair else 1), jnp.max(live_bound), new_t
 
     # (A VMEM-loaded VECTOR as loop carry init crashes Mosaic; a scalar
     # reduce of one is fine.) Starting mb at the block's max bound instead of
@@ -602,7 +655,8 @@ def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, valid=None,
         spheres, r10_p[0:3], r10_p[6:9], valid=valid_p,
         lane_bound=_general_lane_bound(tmax_p[0], r10_p, lo, hi))
 
-    kernel = functools.partial(_general_kernel, T=T_pad, T_pad=T_pad)
+    kernel = functools.partial(_general_kernel, T=T_pad, T_pad=T_pad,
+                               pair=_pair_mode())
     bt = pl.pallas_call(
         kernel,
         grid=(n_pad // NB,),

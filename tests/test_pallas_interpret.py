@@ -148,6 +148,60 @@ def test_general_kernel_segment_cull_modes(mode, monkeypatch):
         mesh_kernels.general_min_t.clear_cache()
 
 
+def test_pair_mode_matches_jnp(monkeypatch, reference_root):
+    """RPT_PAIR=1 (two live chunks per while-loop iteration) must be exact:
+    kernel-level equality on random soup for BOTH kernels (odd/even live
+    counts both occur across blocks, exercising the duplicate-masked tail)
+    plus a full shadows.txt frame (primary attrs + tmax-bounded shadows)."""
+    from relativitypathtracer_tpu.ops.pallas import mesh_kernels
+
+    monkeypatch.setenv("RPT_PAIR", "1")
+    mesh_kernels.shared_nearest_hit.clear_cache()  # pair is read at trace time
+    mesh_kernels.general_min_t.clear_cache()
+    try:
+        rng = np.random.default_rng(23)
+        mesh = _soup_mesh(rng, 300)
+        m4 = np.eye(4, dtype=np.float32)
+        o3 = np.array([0.0, 0.0, -6.0], np.float32)
+        d = rng.normal(size=(3, 2048)).astype(np.float32)
+        d[2] = np.abs(d[2]) + 0.5
+        d /= np.linalg.norm(d, axis=0)
+        t0, n0, uv0, v0 = mesh_intersect.mesh_intersect_shared(
+            mesh, (0, 300), m4, m4, o3, d, use_pallas=False)
+        t1, n1, uv1, v1 = mesh_intersect.mesh_intersect_shared(
+            mesh, (0, 300), m4, m4, o3, d, use_pallas="interpret")
+        assert np.array_equal(np.asarray(v0), np.asarray(v1))
+        hit = np.asarray(v0)
+        assert np.allclose(np.asarray(t0)[hit], np.asarray(t1)[hit],
+                           rtol=1e-5, atol=1e-6)
+        assert np.allclose(np.asarray(n0)[:, hit], np.asarray(n1)[:, hit],
+                           rtol=1e-4, atol=1e-4)
+
+        n = 1536
+        o = rng.uniform(-4, 4, (3, n)).astype(np.float32)
+        dg = rng.normal(size=(3, n)).astype(np.float32)
+        dg /= np.linalg.norm(dg, axis=0)
+        tmax = rng.uniform(0.5, 8.0, (n,)).astype(np.float32)
+        t_true = np.asarray(mesh_intersect.mesh_min_t_general(
+            mesh, (0, 300), m4, m4, o, dg, use_pallas=False))
+        t_k = np.asarray(mesh_intersect.mesh_min_t_general(
+            mesh, (0, 300), m4, m4, o, dg, use_pallas="interpret", tmax=tmax))
+        inside = t_true < tmax
+        assert np.allclose(t_k[inside], t_true[inside], rtol=1e-5, atol=1e-6)
+        assert np.all(t_k[~inside] >= tmax[~inside] * (1 - 1e-6))
+
+        host = load_scene_file(str(reference_root / "Scenes" / "shadows.txt"))
+        scene, meta = build_scene(host)
+        ref = _render(scene, meta, False)
+        got = _render(scene, meta, "interpret")
+        diff = np.abs(ref - got)
+        assert diff.mean() < 1e-4
+        assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.002
+    finally:
+        mesh_kernels.shared_nearest_hit.clear_cache()
+        mesh_kernels.general_min_t.clear_cache()
+
+
 MULTI_SCENE = """MModels/triangle.obj
 MModels/pear.obj
 Om0

@@ -43,6 +43,13 @@ STEPS = [
     # sub-cone granularity A/B (tighter cones vs 2x cull flops)
     ("bunny_sub8", ["python", "tools/frametime.py", "bunny", "1024x768", "3"],
      540, {"RPT_SUB": "8"}),
+    # chunk-pairing A/B (two live chunks per walk iteration: halves loop
+    # overhead at unchanged culling granularity; exactness pinned by
+    # test_pair_mode_matches_jnp)
+    ("bunny_pair", ["python", "tools/frametime.py", "bunny", "1024x768", "3"],
+     540, {"RPT_PAIR": "1"}),
+    ("shadows_pair", ["python", "tools/frametime.py", "shadows", "1024x768", "3"],
+     540, {"RPT_PAIR": "1"}),
     # folded-MSAA sublinearity (VERDICT item 6): msaa=2 and 4 vs the msaa=1
     # bunny row above; target msaa=4 <= ~2.5x msaa=1.
     ("bunny_msaa2", ["python", "tools/frametime.py", "bunny", "1024x768", "3", "2"],
