@@ -158,21 +158,29 @@ W_GRP = W_ROWS // 16
 # pathological spreads beyond the corpus (the flat ~3 ms XLA row gather is
 # the fallback floor).
 WINDOWED_MAX_ROWS = 1_100_000
+# The windowed kernel is the prime suspect for the round-3 relay wedges
+# (ROADMAP: first arch.txt run after the Morton re-layout, then texprobe on
+# cube.txt). The fixes (HBM-pinned atlas, XLA-side address math, shift-free
+# tile_slot) are CPU-verified only, so until a texprobe run PASSES on a live
+# chip the kernel stays opt-in: by default every atlas above MAX_ROWS takes
+# the TPU-proven XLA gather, and RPT_WINDOWED_MAX_ROWS (or flipping this
+# gate after on-chip proof) re-enables it. An autonomous end-of-round bench
+# must never wedge on an unproven kernel.
+WINDOWED_PROVEN = False
 
 
 def windowed_max_rows() -> int:
     """Effective routing cap for the windowed kernel.
 
-    `RPT_WINDOWED_MAX_ROWS` overrides the default: `0` disables the windowed
-    path entirely (every atlas above MAX_ROWS takes the flat ~3 ms XLA row
-    gather -- the safe fallback if the windowed kernel misbehaves on a chip),
-    any other integer replaces the cap. Read at trace time: set it before
-    the first render compile of the process.
+    `RPT_WINDOWED_MAX_ROWS` overrides: `0` disables the windowed path
+    entirely, any other integer replaces the cap. Without the env var the
+    cap is WINDOWED_MAX_ROWS when WINDOWED_PROVEN else 0 (see above). Read
+    at trace time: set it before the first render compile of the process.
     """
     v = os.environ.get("RPT_WINDOWED_MAX_ROWS")
     if v is not None and v.strip():
         return int(v)
-    return WINDOWED_MAX_ROWS
+    return WINDOWED_MAX_ROWS if WINDOWED_PROVEN else 0
 
 
 def texture_route(rq: int, use_pallas: bool) -> str:

@@ -300,9 +300,10 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
             # screen block's 2D texel footprint maps to a row range
             # proportional to its AREA -- most blocks walk ~one 1024-row
             # window even on 1024^2 textures (cube.txt fetch: ~3.9 ->
-            # ~1 ms); beyond the routing cap (RPT_WINDOWED_MAX_ROWS
-            # overrides; 0 disables) the ~3ms-flat XLA row gather is the
-            # fallback floor.
+            # ~1 ms). OPT-IN until proven on-chip (texture_kernel.
+            # WINDOWED_PROVEN / RPT_WINDOWED_MAX_ROWS): the round-3 relay
+            # wedges implicate this kernel, so big atlases default to the
+            # ~3ms-flat XLA row gather below.
             tex_rgb = footprint_sample_windowed(
                 scene.tex_quads, fp, tex_w, tex_h, uv, interpret=interp)
         else:
