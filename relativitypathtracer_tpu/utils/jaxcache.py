@@ -8,9 +8,28 @@ repeat compile to a cache read. Enabled by the CLI/bench/tools entry points
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 DEFAULT_DIR = "/tmp/rpt_jax_cache"
+
+
+def _host_tag() -> str:
+    """Fingerprint of the host CPU (model + feature flags).
+
+    XLA:CPU caches AOT machine code; this container's /tmp outlives
+    re-scheduling onto different machine types, and loading another host's
+    executables warns 'could lead to execution errors such as SIGILL'.
+    Keying the cache dir by host keeps entries host-pure. (TPU executables
+    are keyed by device kind inside XLA's own cache key already; the extra
+    split costs only a first-compile per host.)"""
+    try:
+        with open("/proc/cpuinfo") as f:
+            lines = [ln for ln in f
+                     if ln.startswith(("model name", "flags"))][:2]
+        return hashlib.md5("".join(lines).encode()).hexdigest()[:10]
+    except OSError:  # pragma: no cover - non-Linux
+        return "generic"
 
 
 def enable(path: str | None = None) -> None:
@@ -19,7 +38,8 @@ def enable(path: str | None = None) -> None:
     Respects an existing JAX_COMPILATION_CACHE_DIR env var over `path`."""
     import jax
 
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or path or DEFAULT_DIR
+    cache_dir = (os.environ.get("JAX_COMPILATION_CACHE_DIR") or path
+                 or f"{DEFAULT_DIR}-{_host_tag()}")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Relay compiles are worth caching even when they're quick.
