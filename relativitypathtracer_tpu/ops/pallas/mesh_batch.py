@@ -46,8 +46,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mesh_kernels import (
-    INF, NB, TC, N_ATTR, _mt_mask, _round_up, _safe_inv, _shadow_cull_mode,
-    _sub_cone_cull, bucket_order, chunk_interleave, split_bf16,
+    INF, NB, TC, N_ATTR, _mt_mask, _pair_mode, _round_up, _safe_inv,
+    _shadow_cull_mode, _sub_cone_cull, bucket_order, chunk_interleave,
+    split_bf16,
 )
 
 ROWS_SH = 8   # scratch rows per object, shared kernel: [dh(3), s(1), pad(4)]
@@ -160,7 +161,8 @@ def live_chunk_lists_multi(spheres, chunk_counts, d_os, o_os, s_os,
 def _shared_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
                          mats_ref, consts_ref, attr_ref, dir4_ref,
                          t_ref, u_ref, v_ref, tri_ref, obj_ref, attr_out_ref,
-                         rays_ref, *, O: int, Tsum_pad: int):
+                         rays_ref, *, O: int, Tsum_pad: int,
+                         pair: bool = False):
     """Walk the fused live-chunk list; per chunk, intersect in the chunk's
     object frame and reduce nearest on the SHARED ray parameter.
     box_ref: (O, 9) SMEM rows [union lo(3), hi(3), ro(3)] per object;
@@ -193,9 +195,10 @@ def _shared_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
         j, mb = state[0], state[1]
         return (j < n_live) & (minds_ref[0, 0, order_ref[0, 0, j]] < mb)
 
-    def body(state):
-        j, mb, best_t, best_u, best_v, best_tri, best_obj, best_attr = state
-        k = order_ref[0, 0, j]
+    def chunk_uvtsh(k, live):
+        """One chunk's candidates in SHARED units: (g, u, v, tsh), each
+        field (Tc, NB); tsh is INF outside the acceptance mask (or
+        everywhere for the masked duplicate half of an odd-count pair)."""
         g = cobj_ref[0, 0, k]
         blk = rays_ref[pl.ds(ROWS_SH * g, ROWS_SH), :]
         dh = blk[0:3]
@@ -216,17 +219,44 @@ def _shared_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
         u = u_num * inv_det
         v = v_num * inv_det
         dist = ct[:, None] * inv_det  # object-space units
-        ok = _mt_mask(det, u, v, dist, True)
-        tsh = jnp.where(ok, dist * s[None, :], INF)  # shared units (s > 0)
+        ok = _mt_mask(det, u, v, dist, live)
+        return g, u, v, jnp.where(ok, dist * s[None, :], INF)  # s > 0
+
+    def body(state):
+        j, mb, best_t, best_u, best_v, best_tri, best_obj, best_attr = state
+        k0 = order_ref[0, 0, j]
+        if pair:
+            # Two live chunks per iteration (mesh_kernels._pair_mode);
+            # shared-unit distances are comparable across objects, so the
+            # concatenated argmin reduces both chunks at once.
+            live1 = (j + 1) < n_live
+            k1 = order_ref[0, 0, jnp.minimum(j + 1, n_live - 1)]
+            g0, u0, v0, t0 = chunk_uvtsh(k0, True)
+            g1, u1, v1, t1 = chunk_uvtsh(k1, live1)
+            u = jnp.concatenate([u0, u1], axis=0)
+            v = jnp.concatenate([v0, v1], axis=0)
+            tsh = jnp.concatenate([t0, t1], axis=0)
+        else:
+            g0, u, v, tsh = chunk_uvtsh(k0, True)
+        rows = tsh.shape[0]  # TC or 2*TC
         tmin = jnp.min(tsh, axis=0)
         better = tmin < best_t
         idx = jnp.argmin(tsh, axis=0)
-        onehot = jax.lax.broadcasted_iota(jnp.int32, (TC, nb), 0) == idx[None, :]
+        onehot = jax.lax.broadcasted_iota(jnp.int32, (rows, nb), 0) == idx[None, :]
         umin = jnp.sum(jnp.where(onehot, u, 0.0), axis=0)
         vmin = jnp.sum(jnp.where(onehot, v, 0.0), axis=0)
         onehot_f = jnp.where(onehot, 1.0, 0.0)
         # hi/lo bf16-split one-hot attr select (see mesh_kernels.split_bf16)
-        attrs = attr_ref[pl.ds(base, TC), :]  # (Tc, 30) [hi | lo]
+        if pair:
+            attrs = jnp.concatenate(
+                [attr_ref[pl.ds(k0 * TC, TC), :], attr_ref[pl.ds(k1 * TC, TC), :]],
+                axis=0)  # (2Tc, 30) [hi | lo]
+            tri_id = jnp.where(idx < TC, k0 * TC + idx, k1 * TC + (idx - TC))
+            obj_id = jnp.where(idx < TC, g0, g1)
+        else:
+            attrs = attr_ref[pl.ds(k0 * TC, TC), :]  # (Tc, 30) [hi | lo]
+            tri_id = k0 * TC + idx
+            obj_id = g0  # scalar; broadcasts in the select below
         attr_sel = (
             jax.lax.dot_general(attrs[:, :N_ATTR], onehot_f,
                                 (((0,), (0,)), ((), ())),
@@ -239,13 +269,13 @@ def _shared_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
         )
         new_t = jnp.where(better, tmin, best_t)
         return (
-            j + 1,
+            j + (2 if pair else 1),
             jnp.max(jnp.minimum(new_t, bound_vec)),
             new_t,
             jnp.where(better, umin, best_u),
             jnp.where(better, vmin, best_v),
-            jnp.where(better, base + idx, best_tri),
-            jnp.where(better, g, best_obj),
+            jnp.where(better, tri_id, best_tri),
+            jnp.where(better, obj_id, best_obj),
             jnp.where(better[None, :], attr_sel, best_attr),
         )
 
@@ -301,7 +331,8 @@ def batched_nearest_shared(consts, attrs, spheres, boxes, mats, dir4,
     chunk_obj = sum(((g,) * c for g, c in enumerate(chunk_counts)), ())
     cobj = jnp.asarray(chunk_obj, jnp.int32)[None, None, :]
 
-    kernel = functools.partial(_shared_batch_kernel, O=O, Tsum_pad=Tsum_pad)
+    kernel = functools.partial(_shared_batch_kernel, O=O, Tsum_pad=Tsum_pad,
+                               pair=_pair_mode())
     C = spheres.shape[0]
     out_vec = pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
     bt, bu, bv, btri, bobj, battr = pl.pallas_call(
@@ -337,7 +368,8 @@ def batched_nearest_shared(consts, attrs, spheres, boxes, mats, dir4,
 
 def _general_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
                           mats_ref, cols_ref, o4_ref, dir4_ref, tmax_ref,
-                          t_ref, rays_ref, *, O: int, Tsum_pad: int):
+                          t_ref, rays_ref, *, O: int, Tsum_pad: int,
+                          pair: bool = False):
     nb = NB
     n_live = count_ref[0, 0, 0]
     tmax = tmax_ref[0, :]
@@ -366,9 +398,9 @@ def _general_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
         j, mb = state[0], state[1]
         return (j < n_live) & (minds_ref[0, 0, order_ref[0, 0, j]] < mb)
 
-    def body(state):
-        j, mb, best_t = state
-        k = order_ref[0, 0, j]
+    def chunk_min(k, live):
+        """One chunk's per-lane min SHARED-unit candidate (INF when `live`
+        is the traced-False duplicate half of an odd-count pair)."""
         g = cobj_ref[0, 0, k]
         blk = rays_ref[pl.ds(ROWS_GEN * g, ROWS_GEN), :]
         r10 = blk[0:10]
@@ -392,15 +424,23 @@ def _general_batch_kernel(order_ref, minds_ref, count_ref, cobj_ref, box_ref,
         u = u_num * inv_det
         v = v_num * inv_det
         dist = t_num * inv_det
-        ok = _mt_mask(det, u, v, dist, True)
-        tsh = jnp.where(ok, dist * s[None, :], INF)
-        new_t = jnp.minimum(best_t, jnp.min(tsh, axis=0))
+        ok = _mt_mask(det, u, v, dist, live)
+        return jnp.min(jnp.where(ok, dist * s[None, :], INF), axis=0)
+
+    def body(state):
+        j, mb, best_t = state
+        k0 = order_ref[0, 0, j]
+        new_t = jnp.minimum(best_t, chunk_min(k0, True))
+        if pair:
+            live1 = (j + 1) < n_live
+            k1 = order_ref[0, 0, jnp.minimum(j + 1, n_live - 1)]
+            new_t = jnp.minimum(new_t, chunk_min(k1, live1))
         # Occlusion retirement: tsh and tmax are both in SHARED units and the
         # caller only consumes `result >= tmax`, so any hit strictly below
         # tmax proves the lane shadowed -- drop it from the walk bound (its
         # exact nearest hit no longer matters).
         live_bound = jnp.where(new_t < tmax, 0.0, jnp.minimum(new_t, tmax_eff))
-        return j + 1, jnp.max(live_bound), new_t
+        return j + (2 if pair else 1), jnp.max(live_bound), new_t
 
     init = (jnp.int32(0), jnp.max(tmax_eff), jnp.full((nb,), INF, jnp.float32))
     _, _, bt = jax.lax.while_loop(cond, body, init)
@@ -459,7 +499,8 @@ def batched_min_t_general(cols, spheres, mats, origins4, dir4,
         boxes.append(jnp.concatenate([lo, hi]))
     boxes = jnp.stack(boxes)  # (O, 6)
 
-    kernel = functools.partial(_general_batch_kernel, O=O, Tsum_pad=Tsum_pad)
+    kernel = functools.partial(_general_batch_kernel, O=O, Tsum_pad=Tsum_pad,
+                               pair=_pair_mode())
     C = spheres.shape[0]
     bt = pl.pallas_call(
         kernel,

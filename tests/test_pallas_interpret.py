@@ -153,11 +153,16 @@ def test_pair_mode_matches_jnp(monkeypatch, reference_root):
     kernel-level equality on random soup for BOTH kernels (odd/even live
     counts both occur across blocks, exercising the duplicate-masked tail)
     plus a full shadows.txt frame (primary attrs + tmax-bounded shadows)."""
-    from relativitypathtracer_tpu.ops.pallas import mesh_kernels
+    from relativitypathtracer_tpu.ops.pallas import mesh_batch, mesh_kernels
+
+    def _clear():  # pair is read at trace time
+        mesh_kernels.shared_nearest_hit.clear_cache()
+        mesh_kernels.general_min_t.clear_cache()
+        mesh_batch.batched_nearest_shared.clear_cache()
+        mesh_batch.batched_min_t_general.clear_cache()
 
     monkeypatch.setenv("RPT_PAIR", "1")
-    mesh_kernels.shared_nearest_hit.clear_cache()  # pair is read at trace time
-    mesh_kernels.general_min_t.clear_cache()
+    _clear()
     try:
         rng = np.random.default_rng(23)
         mesh = _soup_mesh(rng, 300)
@@ -197,9 +202,21 @@ def test_pair_mode_matches_jnp(monkeypatch, reference_root):
         diff = np.abs(ref - got)
         assert diff.mean() < 1e-4
         assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.002
+
+        # Batched multi-mesh kernels under pairing (two-object scene with a
+        # point light: both batched kernels, mixed per-chunk object ids).
+        from relativitypathtracer_tpu import parse_scene
+
+        host_m = parse_scene(MULTI_SCENE, str(reference_root))
+        scene_m, meta_m = build_scene(host_m)
+        assert scene_m.mesh_batch is not None
+        ref_m = _render(scene_m, meta_m, False)
+        got_m = _render(scene_m, meta_m, "interpret")
+        diff_m = np.abs(ref_m - got_m)
+        assert diff_m.mean() < 1e-4
+        assert float(np.mean(diff_m.max(-1) > 1e-3)) <= 0.002
     finally:
-        mesh_kernels.shared_nearest_hit.clear_cache()
-        mesh_kernels.general_min_t.clear_cache()
+        _clear()
 
 
 MULTI_SCENE = """MModels/triangle.obj
