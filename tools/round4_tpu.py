@@ -27,8 +27,14 @@ STEPS = [
     # name, argv, timeout_s, extra env
     ("probe", ["python", "-c", "import jax; print(jax.devices())"], 180, {}),
     ("texprobe", ["python", "tools/texprobe.py"], 420, {}),
+    # big-atlas scenes: default route is the TPU-proven XLA gather
+    # (WINDOWED_PROVEN gate); _windowed steps opt the suspect kernel in
     ("arch", ["python", "tools/frametime.py", "arch", "1024x768", "3"], 540, {}),
     ("cubes", ["python", "tools/frametime.py", "cubes", "1024x768", "3"], 540, {}),
+    ("arch_windowed", ["python", "tools/frametime.py", "arch", "1024x768", "3"],
+     540, {"RPT_WINDOWED_MAX_ROWS": "1100000"}),
+    ("cubes_windowed", ["python", "tools/frametime.py", "cubes", "1024x768", "3"],
+     540, {"RPT_WINDOWED_MAX_ROWS": "1100000"}),
     ("bunny", ["python", "tools/frametime.py", "bunny", "1024x768", "4"], 540, {}),
     # shadow-cull A/B on bunny (the shadow-heavy scene is `shadows`; bunny is
     # the headline). Modes are trace-time: one process per mode.
