@@ -56,7 +56,7 @@ def _watchdog(seconds: float):
 
     def fire():
         line = {
-            "metric": "total Mrays/s, bunny.txt 1024x768 (primary+shadow), p50",
+            "metric": f"total Mrays/s, bunny.txt {W}x{H} (primary+shadow), p50",
             "value": 0.0,
             "unit": "Mrays/s",
             "vs_baseline": 0.0,
@@ -66,7 +66,24 @@ def _watchdog(seconds: float):
                          + (" after the headline was measured (partial "
                             "results above are valid)" if PARTIAL
                             else " (TPU relay unreachable?)"))
-        print(json.dumps(line), flush=True)
+        # The main thread mutates PARTIAL's nested dicts in place; a dump
+        # racing an insertion raises RuntimeError, which would kill THIS
+        # thread before it prints anything -- the exact no-artifact outcome
+        # the watchdog exists to prevent. Retry (mutation windows are tiny),
+        # then fall back to a minimal line.
+        for _try in range(5):
+            try:
+                payload = json.dumps(line)
+                break
+            except RuntimeError:
+                time.sleep(0.05)
+        else:
+            payload = json.dumps({
+                "metric": line["metric"], "value": 0.0, "unit": "Mrays/s",
+                "vs_baseline": 0.0,
+                "error": f"bench wedged for {seconds:.0f}s (partial results "
+                         "unserializable: racing mutation)"})
+        print(payload, flush=True)
         os._exit(3)
 
     t = threading.Timer(seconds, fire)
@@ -75,49 +92,20 @@ def _watchdog(seconds: float):
     return t
 
 
-def _percentile(sorted_vals, q):
-    """Linear-interpolated percentile of an ascending list (q in [0, 100])."""
-    n = len(sorted_vals)
-    pos = (n - 1) * q / 100.0
-    lo = int(pos)
-    hi = min(lo + 1, n - 1)
-    return sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * (pos - lo)
-
-
 def measure_ours(scene, meta):
-    """BASELINE.md protocol: p50/p95 frame time over >= 100 frames.
-
-    The axon relay makes block_until_ready() a no-op and adds a round trip to
-    every scalar fetch, so individual frame times are unmeasurable; instead
-    NBATCH samples of BATCH chained frames each are timed (one tiny fetch per
-    sample, measured RTT subtracted) and the percentiles are taken over the
-    per-batch per-frame means -- the honest estimator this transport allows.
-    """
-    import jax.numpy as jnp
-
+    """BASELINE.md protocol: p50/p95 frame time over >= 100 frames, via the
+    shared chained-batch estimator (utils.timing: NBATCH samples of BATCH
+    chained frames, one scalar fetch each, measured RTT subtracted --
+    the honest estimator the axon relay transport allows)."""
     from relativitypathtracer_tpu.render import FrameState, build_render_fn
+    from relativitypathtracer_tpu.utils.timing import chained_samples_ms, percentile
 
     render = build_render_fn(meta, W, H, meta.default_interval, 1, True)
-    state = FrameState.initial()
-    img, aux = render(scene, state)
+    samples, (img, aux) = chained_samples_ms(
+        render, scene, FrameState.initial(), nbatch=NBATCH, batch=BATCH)
     shadow_rays = int(aux["shadow_rays"])
-    _ = float(jnp.sum(img))  # settle compile + queue
-    rtt = min(_time_fetch(jnp, img) for _ in range(3))
-    samples = []
-    for _b in range(NBATCH):
-        t0 = time.perf_counter()
-        for _i in range(BATCH):
-            img, aux = render(scene, state)
-        _ = float(jnp.sum(img))
-        samples.append(max(time.perf_counter() - t0 - rtt, 1e-9) / BATCH * 1e3)
     samples.sort()
-    return _percentile(samples, 50), _percentile(samples, 95), shadow_rays
-
-
-def _time_fetch(jnp, img):
-    t0 = time.perf_counter()
-    _ = float(jnp.sum(img))
-    return time.perf_counter() - t0
+    return percentile(samples, 50), percentile(samples, 95), shadow_rays
 
 
 def measure_baseline(scene, meta):
@@ -199,6 +187,7 @@ def main():
     log(f"ours: {p50:.2f} ms/frame p50, {p95:.2f} p95 over {BATCH * NBATCH} "
         f"frames, {mrays:.2f} Mrays/s ({shadow_rays} shadow rays)")
     PARTIAL.update({
+        "resolution": f"{W}x{H}",
         "value": round(mrays, 3),
         "vs_baseline": round(mrays / base_mrays, 3),
         "frame_ms_p50": round(p50, 3),
@@ -224,29 +213,18 @@ def main():
             frametimes[key] = "skipped (watchdog budget)"
             continue
         try:
-            import jax.numpy as jnp
-
             from relativitypathtracer_tpu.render import (
                 FrameState as _FS,
                 build_render_fn,
             )
+            from relativitypathtracer_tpu.utils.timing import chained_frametime_ms
 
             host_ft = load_scene_file(str(REF / "Scenes" / f"{ft_scene}.txt"))
             sc_ft, meta_ft = build_scene(host_ft)
             render_ft = build_render_fn(meta_ft, W, H, meta_ft.default_interval,
                                         ft_msaa)
-            st = _FS.initial()
-            img = render_ft(sc_ft, st)
-            _ = float(jnp.sum(img))
-            rtt = min(_time_fetch(jnp, img) for _ in range(3))
-            best = None
-            for _r in range(3):
-                t0 = time.perf_counter()
-                for _i in range(BATCH):
-                    img = render_ft(sc_ft, st)
-                _ = float(jnp.sum(img))
-                ms = max(time.perf_counter() - t0 - rtt, 1e-9) / BATCH * 1e3
-                best = ms if best is None else min(best, ms)
+            best = chained_frametime_ms(render_ft, sc_ft, _FS.initial(),
+                                        reps=3, batch=BATCH)
             frametimes[key] = round(best, 3)
             log(f"frametime {key}: {best:.2f} ms")
         except Exception as e:  # noqa: BLE001
@@ -310,7 +288,7 @@ def main():
     PARTIAL["large_mesh"] = large
 
     line = {
-        "metric": "total Mrays/s, bunny.txt 1024x768 (primary+shadow), p50",
+        "metric": f"total Mrays/s, bunny.txt {W}x{H} (primary+shadow), p50",
         "unit": "Mrays/s",
     }
     line.update(PARTIAL)

@@ -2,11 +2,13 @@
 process, so a stingy relay grant (round 3 saw one claim per ~20-min recovery
 window) is never spent on a bare probe or lost to subprocess re-claims.
 
-Ordering is risk-tiered: the round-2-proven kernels (bunny/shadows frametimes
-+ parity, msaa, A/B knobs, large tier, interactivity) run FIRST; the windowed
-texture kernel -- the round-3 relay-wedge suspect -- runs LAST as a boundary,
-followed by the scenes that route through it (arch/cubes) and the all-8
-parity sweep. Artifacts are written to disk INCREMENTALLY after every step
+Ordering is risk-tiered: everything that routes through TPU-proven kernels
+(bunny/shadows frametimes + the all-8 parity sweep, msaa, A/B knobs, the
+large tier, interactivity, arch/cubes on the default XLA-gather texture
+route) runs FIRST; the windowed texture kernel -- the round-3 relay-wedge
+suspect, opt-in under the WINDOWED_PROVEN gate -- runs dead LAST as a
+boundary, and its arch/cubes A/B only runs if its texprobe is both
+wedge-free and exact. Artifacts are written to disk INCREMENTALLY after every step
 (ROUND4_ONECLAIM.json + PARITY_r04.json + INTERACT_r04.json), so a
 mid-sequence wedge preserves everything already earned.
 
@@ -106,28 +108,17 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    # ---- timing helper (relay: chained frames + one scalar fetch, RTT
-    # subtracted; see ROADMAP "Timing methodology") ----
+    from relativitypathtracer_tpu.utils.timing import (
+        chained_samples_ms, percentile)
+
     def frametime(name, msaa=1, reps=3, frames=12):
+        """Best-of-reps chained-frame ms (shared estimator, utils/timing)."""
         host = load_scene_file(str(REF / "Scenes" / f"{name}.txt"))
         sc, mt = build_scene(host)
         render = build_render_fn(mt, W, H, mt.default_interval, msaa)
-        state = FrameState.initial()
-        img = render(sc, state)
-        _ = float(jnp.sum(img))
-        rtt = 1e9
-        for _i in range(3):
-            t = time.perf_counter()
-            _ = float(jnp.sum(img))
-            rtt = min(rtt, time.perf_counter() - t)
-        best = 1e9
-        for _r in range(reps):
-            t = time.perf_counter()
-            for _i in range(frames):
-                img = render(sc, state)
-            _ = float(jnp.sum(img))
-            best = min(best, max(time.perf_counter() - t - rtt, 1e-9) / frames * 1e3)
-        return round(best, 3)
+        samples, _ = chained_samples_ms(render, sc, FrameState.initial(),
+                                        nbatch=reps, batch=frames)
+        return round(min(samples), 3)
 
     def reconfig(**env):
         """Switch a trace-time knob in-process (test-suite mechanism)."""
@@ -140,8 +131,12 @@ def main() -> None:
                 os.environ[k] = str(v)
         if "RPT_SUB" in env:  # module constant, read at import time
             mesh_kernels.SUB = int(env["RPT_SUB"] or 4)
+        from relativitypathtracer_tpu.ops.pallas import mesh_batch
+
         mesh_kernels.shared_nearest_hit.clear_cache()
         mesh_kernels.general_min_t.clear_cache()
+        mesh_batch.batched_nearest_shared.clear_cache()
+        mesh_batch.batched_min_t_general.clear_cache()
         build_render_fn.cache_clear()
 
     # ---- tier 1: round-2-proven kernels ----
@@ -214,29 +209,38 @@ def main() -> None:
         host = load_scene_file(str(REF / "Scenes" / "bunny.txt"))
         sc, mt = build_scene(host)
         render = build_render_fn(mt, W, H, mt.default_interval, 1, True)
-        state = FrameState.initial()
-        img, aux = render(sc, state)
+        samples, (_img, aux) = chained_samples_ms(
+            render, sc, FrameState.initial(), nbatch=10, batch=12)
         shadow_rays = int(aux["shadow_rays"])
-        _ = float(jnp.sum(img))
-        rtt = 1e9
-        for _i in range(3):
-            t = time.perf_counter()
-            _ = float(jnp.sum(img))
-            rtt = min(rtt, time.perf_counter() - t)
-        samples = []
-        for _b in range(10):
-            t = time.perf_counter()
-            for _i in range(12):
-                img, aux = render(sc, state)
-            _ = float(jnp.sum(img))
-            samples.append(max(time.perf_counter() - t - rtt, 1e-9) / 12 * 1e3)
         samples.sort()
-        p50 = samples[4] + (samples[5] - samples[4]) * 0.5
+        p50 = percentile(samples, 50)
         mrays = (W * H + shadow_rays) / (p50 * 1e3)
         return {"frame_ms_p50": round(p50, 3), "mrays": round(mrays, 3),
-                "p95_ms": round(samples[-1], 3), "shadow_rays": shadow_rays}
+                "p95_ms": round(percentile(samples, 95), 3),
+                "shadow_rays": shadow_rays}
 
     step("bench_protocol", 300, bench_inline)
+
+    # ---- big-atlas scenes on the (safe, default) XLA-gather route ----
+    step("arch", 300, lambda: frametime("arch"))
+    step("cubes", 300, lambda: frametime("cubes"))
+
+    # ---- all-8 full-res parity sweep (VERDICT item 3; all scenes route
+    # through TPU-proven kernels under the WINDOWED_PROVEN gate) ----
+    done = {r["scene"] for r in parity_results}
+    boosted = FrameState(
+        cam_velocity=jnp.array([0.3, 0.1, -0.2], jnp.float32),
+        cam_pos=jnp.array([2.5, 0, 0, 0], jnp.float32),
+    )
+    for name in ("arch", "cube", "cubes", "ladder_paradox", "rulers", "soccer"):
+        if name not in done:
+            step(f"parity_{name}", 240, lambda n=name: parity(n))
+    step("parity_rulers_boosted", 240,
+         lambda: parity("rulers", state=boosted, tag="rulers_boosted"))
+    if parity_results:
+        p = json.loads((ART_DIR / f"PARITY_r{ROUND_TAG}.json").read_text())
+        p["complete"] = len(parity_results) >= 9
+        (ART_DIR / f"PARITY_r{ROUND_TAG}.json").write_text(json.dumps(p, indent=1))
 
     # ================= WEDGE-RISK BOUNDARY =================
     # Everything below exercises the windowed Morton texture kernel (the
@@ -265,34 +269,16 @@ def main() -> None:
         return {"max_diff": float(jnp.max(jnp.abs(out - ref)))}
 
     tex_ok = step("texprobe", 420, texprobe)
-    if tex_ok is None and "error" in ART["steps"].get("texprobe", {}):
-        print("texprobe FAILED -- arch/cubes would re-wedge; set "
-              "RPT_WINDOWED_MAX_ROWS=0 for the rest of the round", flush=True)
-
-    # Default route for big atlases is now the TPU-proven XLA gather
-    # (WINDOWED_PROVEN gate); measure it, then A/B the windowed kernel
-    # opt-in -- only sensible if texprobe survived.
-    step("arch", 300, lambda: frametime("arch"))
-    step("cubes", 300, lambda: frametime("cubes"))
-    if "result" in ART["steps"].get("texprobe", {}):
+    if tex_ok is not None and tex_ok.get("max_diff", 1.0) < 1e-5:
+        # Proven wedge-free AND correct: A/B the windowed route. A result
+        # with a bad max_diff means the kernel RUNS but fetches wrong texels
+        # -- timing it would invite flipping WINDOWED_PROVEN on speed alone.
         ab("arch_windowed", "arch", RPT_WINDOWED_MAX_ROWS="1100000")
         ab("cubes_windowed", "cubes", RPT_WINDOWED_MAX_ROWS="1100000")
-
-    # ---- all-8 full-res parity sweep (VERDICT item 3) ----
-    done = {r["scene"] for r in parity_results}
-    boosted = FrameState(
-        cam_velocity=jnp.array([0.3, 0.1, -0.2], jnp.float32),
-        cam_pos=jnp.array([2.5, 0, 0, 0], jnp.float32),
-    )
-    for name in ("arch", "cube", "cubes", "ladder_paradox", "rulers", "soccer"):
-        if name not in done:
-            step(f"parity_{name}", 240, lambda n=name: parity(n))
-    step("parity_rulers_boosted", 240,
-         lambda: parity("rulers", state=boosted, tag="rulers_boosted"))
-    if parity_results:
-        p = json.loads((ART_DIR / f"PARITY_r{ROUND_TAG}.json").read_text())
-        p["complete"] = len(parity_results) >= 9
-        (ART_DIR / f"PARITY_r{ROUND_TAG}.json").write_text(json.dumps(p, indent=1))
+    else:
+        print("texprobe failed or inexact -- windowed kernel stays retired "
+              "(keep WINDOWED_PROVEN=False / RPT_WINDOWED_MAX_ROWS=0)",
+              flush=True)
 
     ART["done"] = True
     save()

@@ -28,13 +28,9 @@ STEPS = [
     ("probe", ["python", "-c", "import jax; print(jax.devices())"], 180, {}),
     ("texprobe", ["python", "tools/texprobe.py"], 420, {}),
     # big-atlas scenes: default route is the TPU-proven XLA gather
-    # (WINDOWED_PROVEN gate); _windowed steps opt the suspect kernel in
+    # (WINDOWED_PROVEN gate); the _windowed opt-in steps run LAST (below)
     ("arch", ["python", "tools/frametime.py", "arch", "1024x768", "3"], 540, {}),
     ("cubes", ["python", "tools/frametime.py", "cubes", "1024x768", "3"], 540, {}),
-    ("arch_windowed", ["python", "tools/frametime.py", "arch", "1024x768", "3"],
-     540, {"RPT_WINDOWED_MAX_ROWS": "1100000"}),
-    ("cubes_windowed", ["python", "tools/frametime.py", "cubes", "1024x768", "3"],
-     540, {"RPT_WINDOWED_MAX_ROWS": "1100000"}),
     ("bunny", ["python", "tools/frametime.py", "bunny", "1024x768", "4"], 540, {}),
     # shadow-cull A/B on bunny (the shadow-heavy scene is `shadows`; bunny is
     # the headline). Modes are trace-time: one process per mode.
@@ -68,8 +64,14 @@ STEPS = [
     # live interactivity artifact (VERDICT item 5)
     ("interact", ["python", "tools/interact_bench.py", "--scene", "bunny",
                   "--size", "960x540", "--round", "04"], 900, {}),
-    # headline benchmark last (it also re-checks 3-case parity + large mesh)
+    # headline benchmark (it also re-checks 3-case parity + large mesh)
     ("bench", ["python", "bench.py"], 1500, {}),
+    # WEDGE-RISK BOUNDARY: the windowed-kernel opt-in steps run dead last so
+    # a re-wedge costs nothing already earned (the runner aborts on timeout).
+    ("arch_windowed", ["python", "tools/frametime.py", "arch", "1024x768", "3"],
+     540, {"RPT_WINDOWED_MAX_ROWS": "1100000"}),
+    ("cubes_windowed", ["python", "tools/frametime.py", "cubes", "1024x768", "3"],
+     540, {"RPT_WINDOWED_MAX_ROWS": "1100000"}),
 ]
 
 
