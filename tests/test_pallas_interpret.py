@@ -219,6 +219,47 @@ def test_pair_mode_matches_jnp(monkeypatch, reference_root):
         _clear()
 
 
+def test_pair_mode_chunk_economy(monkeypatch):
+    """Pairing halves loop iterations BY CONSTRUCTION (j advances by 2); the
+    only cost is that early termination is checked every other chunk, so a
+    block may process at most ONE extra chunk past the sequential stop.
+    debug_iters reports the final j (chunks processed): assert
+    chunks_pair <= chunks_single + 1 per block."""
+    import jax.numpy as jnp
+
+    from relativitypathtracer_tpu.ops.pallas import mesh_kernels
+
+    rng = np.random.default_rng(31)
+    T = 288
+    mesh = _soup_mesh(rng, T)
+    ro = jnp.asarray([0.0, 0.0, -6.0], jnp.float32)
+    consts, c_t, _T, T_pad = mesh_intersect.shared_origin_constants(
+        mesh, (0, T), ro)
+    attrs = mesh_intersect.tri_attr_matrix(mesh, (0, T), T_pad)
+    A, B, C = mesh_intersect.mesh_tri_vertices(mesh, (0, T))
+    spheres = mesh_kernels.chunk_spheres(A, B, C, T, T_pad)
+    d = rng.normal(size=(3, 2048)).astype(np.float32)
+    d[2] = np.abs(d[2]) + 0.5
+    d /= np.linalg.norm(d, axis=0)
+    dh = jnp.asarray(d)
+
+    def iters():
+        out = mesh_kernels.shared_nearest_hit(
+            consts, c_t, attrs, spheres, dh, ro, interpret=True,
+            debug_iters=True)
+        return np.asarray(out[-1])
+
+    monkeypatch.delenv("RPT_PAIR", raising=False)
+    mesh_kernels.shared_nearest_hit.clear_cache()
+    single = iters()
+    monkeypatch.setenv("RPT_PAIR", "1")
+    mesh_kernels.shared_nearest_hit.clear_cache()
+    paired = iters()
+    mesh_kernels.shared_nearest_hit.clear_cache()
+    assert np.all(paired <= single + 1), (single, paired)
+    assert np.all(paired >= single), "pairing cannot process FEWER chunks"
+
+
 MULTI_SCENE = """MModels/triangle.obj
 MModels/pear.obj
 Om0
