@@ -289,16 +289,19 @@ def _apply_nt(p_ref, g, n):
 
 def _nearest_kernel(os_ref, ms_ref, cs_ref, oc_ref, mc_ref, cc_ref,
                     p_ref, dir4_ref, t_ref, obj_ref, kind_ref, n_ref, s3_ref,
-                    *, n_spheres: int, n_cubes: int):
+                    *, n_spheres: int, n_cubes: int, pair: bool = False):
     """Walk this block's LIVE objects (per-kind front-to-back SMEM lists),
     tracking the nearest hit. Spheres walk first, then cubes (matching the
     jnp path's merge order; within a kind the order only differs at exact
     fp ties). Early termination: the walk stops once every lane's best t is
-    nearer than the next object's camera-t floor."""
+    nearer than the next object's camera-t floor. pair=True steps TWO live
+    objects per iteration (mesh_kernels._pair_mode): the per-object step is
+    small here, so the fixed loop overhead is a larger fraction than in the
+    mesh kernels."""
     dir4 = dir4_ref[:]  # (4, NB)
     nb = dir4.shape[1]
 
-    def obj_step(g, is_sphere: bool, state):
+    def obj_step(g, is_sphere: bool, state, live=True):
         best_t, best_obj, best_kind, best_n, best_s3 = state
         d = _affine_rows(p_ref, g, dir4, with_b=False)
         scale = _norm3(d)
@@ -316,7 +319,7 @@ def _nearest_kernel(os_ref, ms_ref, cs_ref, oc_ref, mc_ref, cc_ref,
             u = jnp.where(on_x, obj_pt[1], obj_pt[0])
             v = jnp.where(on_x | on_y, obj_pt[2], obj_pt[1])
             s3 = [(u + 1.0) / 2.0, (v + 1.0) / 2.0, jnp.zeros((nb,), jnp.float32)]
-        t = jnp.where(valid, dist / scale, INF)
+        t = jnp.where(valid & live, dist / scale, INF)
         better = t < best_t
         kind_val = jnp.float32(0.0 if is_sphere else 1.0)
         return (
@@ -338,7 +341,11 @@ def _nearest_kernel(os_ref, ms_ref, cs_ref, oc_ref, mc_ref, cc_ref,
             j, mb, inner = st[0], st[1], st[2:]
             g = o_ref[0, 0, j] + offset
             new = obj_step(g, is_sphere, tuple(inner))
-            return (j + 1, jnp.max(new[0])) + new
+            if pair:
+                live1 = (j + 1) < n_live
+                g1 = o_ref[0, 0, jnp.minimum(j + 1, n_live - 1)] + offset
+                new = obj_step(g1, is_sphere, new, live1)
+            return (j + (2 if pair else 1), jnp.max(new[0])) + new
 
         st = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(INF)) + state)
         return st[2:]
@@ -421,7 +428,10 @@ def analytic_nearest_shared(params, dir4, n_spheres: int, n_cubes: int,
     else:
         oc_, mc_, cc_ = dummy
 
-    kernel = functools.partial(_nearest_kernel, n_spheres=n_spheres, n_cubes=n_cubes)
+    from .mesh_kernels import _pair_mode
+
+    kernel = functools.partial(_nearest_kernel, n_spheres=n_spheres,
+                               n_cubes=n_cubes, pair=_pair_mode())
     row = pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
     vec3 = pl.BlockSpec((3, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
 
@@ -455,7 +465,7 @@ def analytic_nearest_shared(params, dir4, n_spheres: int, n_cubes: int,
 
 def _min_t_kernel(os_ref, ms_ref, cs_ref, oc_ref, mc_ref, cc_ref,
                   p_ref, o4_ref, dir4_ref, tmax_ref, t_ref,
-                  *, n_spheres: int, n_cubes: int):
+                  *, n_spheres: int, n_cubes: int, pair: bool = False):
     """Min hit parameter over this block's LIVE objects (shadow rays), with
     the same tmax-bounded early termination as the mesh shadow kernels."""
     o4 = o4_ref[:]  # (4, NB)
@@ -463,7 +473,7 @@ def _min_t_kernel(os_ref, ms_ref, cs_ref, oc_ref, mc_ref, cc_ref,
     tmax = tmax_ref[0, :]
     nb = dir4.shape[1]
 
-    def obj_step(g, is_sphere: bool, best_t):
+    def obj_step(g, is_sphere: bool, best_t, live=True):
         d = _affine_rows(p_ref, g, dir4, with_b=False)
         ro = _affine_rows(p_ref, g, o4, with_b=True)
         scale = _norm3(d)
@@ -472,7 +482,7 @@ def _min_t_kernel(os_ref, ms_ref, cs_ref, oc_ref, mc_ref, cc_ref,
             dist, valid, _ = _sphere_hit(ro, dh)
         else:
             dist, valid, _, _ = _cube_hit(ro, dh)
-        t = jnp.where(valid, dist / scale, INF)
+        t = jnp.where(valid & live, dist / scale, INF)
         return jnp.minimum(best_t, t)
 
     def walk(o_ref, m_ref, c_ref, is_sphere: bool, offset: int, best_t):
@@ -484,9 +494,13 @@ def _min_t_kernel(os_ref, ms_ref, cs_ref, oc_ref, mc_ref, cc_ref,
 
         def body(st):
             j, mb, bt = st
-            g = o_ref[0, 0, j] + offset
-            bt = obj_step(g, is_sphere, bt)
-            return j + 1, jnp.max(jnp.minimum(bt, tmax)), bt
+            bt = obj_step(o_ref[0, 0, j] + offset, is_sphere, bt)
+            if pair:
+                live1 = (j + 1) < n_live
+                g1 = o_ref[0, 0, jnp.minimum(j + 1, n_live - 1)] + offset
+                bt = obj_step(g1, is_sphere, bt, live1)
+            return (j + (2 if pair else 1),
+                    jnp.max(jnp.minimum(bt, tmax)), bt)
 
         st = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.max(tmax), best_t))
@@ -550,7 +564,10 @@ def analytic_min_t_general(params, origins4, dir4, n_spheres: int, n_cubes: int,
         return pl.BlockSpec((1, 1, a.shape[2]), lambda i: (i, 0, 0),
                             memory_space=pltpu.SMEM)
 
-    kernel = functools.partial(_min_t_kernel, n_spheres=n_spheres, n_cubes=n_cubes)
+    from .mesh_kernels import _pair_mode
+
+    kernel = functools.partial(_min_t_kernel, n_spheres=n_spheres,
+                               n_cubes=n_cubes, pair=_pair_mode())
     t = pl.pallas_call(
         kernel,
         grid=(n_blocks,),

@@ -153,13 +153,16 @@ def test_pair_mode_matches_jnp(monkeypatch, reference_root):
     kernel-level equality on random soup for BOTH kernels (odd/even live
     counts both occur across blocks, exercising the duplicate-masked tail)
     plus a full shadows.txt frame (primary attrs + tmax-bounded shadows)."""
-    from relativitypathtracer_tpu.ops.pallas import mesh_batch, mesh_kernels
+    from relativitypathtracer_tpu.ops.pallas import (
+        analytic_kernels, mesh_batch, mesh_kernels)
 
-    def _clear():  # pair is read at trace time
+    def _clear():  # pair is read at trace time (nested jits cache jaxprs)
         mesh_kernels.shared_nearest_hit.clear_cache()
         mesh_kernels.general_min_t.clear_cache()
         mesh_batch.batched_nearest_shared.clear_cache()
         mesh_batch.batched_min_t_general.clear_cache()
+        analytic_kernels.analytic_nearest_shared.clear_cache()
+        analytic_kernels.analytic_min_t_general.clear_cache()
 
     monkeypatch.setenv("RPT_PAIR", "1")
     _clear()
@@ -202,6 +205,16 @@ def test_pair_mode_matches_jnp(monkeypatch, reference_root):
         diff = np.abs(ref - got)
         assert diff.mean() < 1e-4
         assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.002
+
+        # Analytic kernels under pairing: cubes.txt (34 cubes, point light)
+        # exercises both walks through the live-object lists.
+        host_c = load_scene_file(str(reference_root / "Scenes" / "cubes.txt"))
+        scene_c, meta_c = build_scene(host_c)
+        ref_c = _render(scene_c, meta_c, False)
+        got_c = _render(scene_c, meta_c, "interpret")
+        diff_c = np.abs(ref_c - got_c)
+        assert diff_c.mean() < 1e-4
+        assert float(np.mean(diff_c.max(-1) > 1e-3)) <= 0.002
 
         # Batched multi-mesh kernels under pairing (two-object scene with a
         # point light: both batched kernels, mixed per-chunk object ids).

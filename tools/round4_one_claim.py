@@ -131,12 +131,15 @@ def main() -> None:
                 os.environ[k] = str(v)
         if "RPT_SUB" in env:  # module constant, read at import time
             mesh_kernels.SUB = int(env["RPT_SUB"] or 4)
-        from relativitypathtracer_tpu.ops.pallas import mesh_batch
+        from relativitypathtracer_tpu.ops.pallas import (
+            analytic_kernels, mesh_batch)
 
         mesh_kernels.shared_nearest_hit.clear_cache()
         mesh_kernels.general_min_t.clear_cache()
         mesh_batch.batched_nearest_shared.clear_cache()
         mesh_batch.batched_min_t_general.clear_cache()
+        analytic_kernels.analytic_nearest_shared.clear_cache()
+        analytic_kernels.analytic_min_t_general.clear_cache()
         build_render_fn.cache_clear()
 
     # ---- tier 1: round-2-proven kernels ----
@@ -182,6 +185,7 @@ def main() -> None:
     ab("shadows_cull_none", "shadows", RPT_SHADOW_CULL="none")
     ab("bunny_pair", "bunny", RPT_PAIR="1")
     ab("shadows_pair", "shadows", RPT_PAIR="1")
+    ab("cubes_pair", "cubes", RPT_PAIR="1")  # analytic-kernel pairing
     ab("bunny_pair_sub8", "bunny", RPT_PAIR="1", RPT_SUB="8")
     ab("bunny_sub8", "bunny", RPT_SUB="8")
 

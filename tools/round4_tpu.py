@@ -52,6 +52,8 @@ STEPS = [
      540, {"RPT_PAIR": "1"}),
     ("shadows_pair", ["python", "tools/frametime.py", "shadows", "1024x768", "3"],
      540, {"RPT_PAIR": "1"}),
+    ("cubes_pair", ["python", "tools/frametime.py", "cubes", "1024x768", "3"],
+     540, {"RPT_PAIR": "1"}),
     # folded-MSAA sublinearity (VERDICT item 6): msaa=2 and 4 vs the msaa=1
     # bunny row above; target msaa=4 <= ~2.5x msaa=1.
     ("bunny_msaa2", ["python", "tools/frametime.py", "bunny", "1024x768", "3", "2"],
