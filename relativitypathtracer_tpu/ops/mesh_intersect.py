@@ -28,6 +28,8 @@ the reference.
 
 from __future__ import annotations
 
+import math
+
 import os
 
 import jax
@@ -292,7 +294,14 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
             return t, normal, uv, valid, out[5]
         return t, normal, uv, valid
 
-    Tc = min(tri_chunk, T_pad)
+    # Tc must DIVIDE T_pad: the factor blocks are packed contiguously at
+    # T_pad stride, so a floor-divided chunk count silently drops the tail
+    # triangles (T_pad = 768 with Tc = 512 skipped tris 512..767 -- rays
+    # passed through geometry on the jnp path), while a ceil count would
+    # run the last chunk's cv slice out of bounds (dynamic_slice clamps the
+    # start, unmasking WRONG rows). T_pad is a multiple of 256, so the gcd
+    # is always >= 256.
+    Tc = math.gcd(min(tri_chunk, T_pad), T_pad)
     n_chunks = T_pad // Tc
 
     def chunk_step(carry, k):
@@ -552,12 +561,16 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
                                  jnp.maximum(tmax_base * 0.999 - 1e-3, 0.0),
                                  0.0)
         if _resolve_large(T_pad):
+            from .pallas.mesh_kernels import TC
             from .pallas.mesh_large import (
                 large_general_min_t, pack_general_records, super_spheres)
 
-            # Records are TC-granularity: use the TC chunk spheres (NOT
-            # gen_spheres, which follow TC_GEN if the two ever diverge).
-            sph_tc = static.spheres if static is not None else spheres
+            # Records are TC-granularity: use TC chunk spheres (NOT the
+            # TC_GEN `spheres` above -- with TC_GEN != TC the bitmask and
+            # record cursor would index the wrong chunks).
+            sph_tc = (static.spheres if static is not None
+                      else spheres if TC_GEN == TC
+                      else chunk_spheres(A, B, C, T, T_pad, tc=TC))
             ssph = (static.sspheres if static is not None
                     and static.sspheres is not None
                     else super_spheres(sph_tc))
@@ -575,7 +588,9 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
             if debug_iters:
                 bt, dbg_iters = bt
     else:
-        Tc = min(tri_chunk, T_pad)
+        # Tc must divide T_pad (see mesh_intersect_shared: a floor-divided
+        # chunk count drops tail triangles; shadows then leak).
+        Tc = math.gcd(min(tri_chunk, T_pad), T_pad)
         n_chunks = T_pad // Tc
 
         def chunk_step(best_t, k):

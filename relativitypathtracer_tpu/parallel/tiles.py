@@ -35,7 +35,7 @@ from ..ops.mesh_intersect import _resolve_pallas
 from ..ops.tonemap import tonemap
 from ..render import (
     FrameState, TILE, _round_up, msaa_swizzle, object_frames, shade,
-    tile_swizzle,
+    tile_swizzle, tile_unswizzle,
 )
 
 LANES = TILE * TILE  # rays per kernel block
@@ -69,17 +69,6 @@ def deal_blocks(n_dev: int, rows: int, cols: int, assign: str):
         dev_blocks = f[np.argsort(cls, kind="stable")].reshape(n_dev, bpd)
     inv = np.argsort(dev_blocks.reshape(-1))
     return dev_blocks, inv
-
-
-def _unswizzle_patches(vec, ph, pw, p):
-    """Inverse of the block-major quadrant-major pixel order: vec (k, ph*pw)
-    whose lanes run (patch_r, patch_c, quad_r, quad_c, r, c) -> row-major.
-    p = patch edge in pixels (TILE for msaa=1, TILE//m for folded msaa, whose
-    per-pixel sample groups have already been averaged away)."""
-    k = vec.shape[0]
-    h = p // 2
-    x = vec.reshape(k, ph // p, pw // p, 2, 2, h, h)
-    return x.transpose(0, 1, 3, 5, 2, 4, 6).reshape(k, ph * pw)
 
 
 def build_sharded_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
@@ -120,11 +109,13 @@ def build_sharded_render_fn(meta: SceneMeta, width: int, height: int, interval: 
     )  # (n_dev, 3, bpd * LANES)
     dirs_bands = jax.device_put(dirs_bands)
 
-    def band_render(scene: Scene, state: FrameState):
-        # Runs per-device: render this device's dealt blocks.
-        band = jax.lax.axis_index(axis)
+    def band_render(scene: Scene, state: FrameState, d_band):
+        # Runs per-device: render this device's dealt blocks. d_band arrives
+        # pre-sharded ((1, 3, bpd*LANES) shard of dirs_bands): each device
+        # stores only ITS rays -- closing over the full array replicated the
+        # frame's largest constant n_dev-fold in HBM.
         L, inv_L, stat_cam = object_frames(scene.objects, state)
-        d = jax.lax.dynamic_index_in_dim(dirs_bands, band, 0, keepdims=False)
+        d = d_band[0]
         with jax.default_matmul_precision("highest"):
             color, aux = shade(scene, meta, L, inv_L, stat_cam, d, interval)
         if msaa > 1:
@@ -140,7 +131,7 @@ def build_sharded_render_fn(meta: SceneMeta, width: int, height: int, interval: 
     sharded = shard_map(
         band_render,
         mesh=mesh,
-        in_specs=(P(), P()),  # scene + state replicated
+        in_specs=(P(), P(), P(axis)),  # scene + state replicated; dirs sharded
         # blocks concatenate over devices; psum'd aux is replicated
         out_specs=(P(axis, None, None), P()) if with_aux else P(axis, None, None),
         # Static replication checking is ON for the jnp path: scan/while
@@ -159,7 +150,7 @@ def build_sharded_render_fn(meta: SceneMeta, width: int, height: int, interval: 
 
     @jax.jit
     def render(scene: Scene, state: FrameState):
-        out = sharded(scene, state)
+        out = sharded(scene, state, dirs_bands)
         if with_aux:
             blocks, aux = out
         else:
@@ -167,7 +158,7 @@ def build_sharded_render_fn(meta: SceneMeta, width: int, height: int, interval: 
         if band_assign != "contiguous":
             blocks = blocks[inv]  # de-interleave the dealt blocks
         vec = blocks.transpose(2, 0, 1).reshape(3, ph * pw)
-        img = _unswizzle_patches(vec, ph, pw, p)
+        img = tile_unswizzle(vec, ph, pw, p)
         img = img.reshape(3, ph, pw).transpose(1, 2, 0)[:height, :width]
         return (img, aux) if with_aux else img
 
@@ -203,11 +194,16 @@ def band_mesh_work(scene: Scene, meta: SceneMeta, width: int, height: int,
     _, _, _, obj, did_hit = intersect_scene(scene, meta, L, stat_cam, dir4,
                                             interval)
     mesh_hit = did_hit & jnp.isin(obj, jnp.asarray(meta.mesh_ids, jnp.int32))
-    # Padding rows render but carry no real work: mask them out by row id.
+    # Padding rows AND columns render but carry no real work: mask both
+    # (right-edge blocks' padded columns would otherwise inflate whichever
+    # devices own them and skew the metric).
     row_img = jnp.broadcast_to(jnp.arange(ph, dtype=jnp.float32)[:, None],
                                (ph, pw))
+    col_img = jnp.broadcast_to(jnp.arange(pw, dtype=jnp.float32)[None, :],
+                               (ph, pw))
     row = tile_swizzle(row_img.reshape(1, -1), ph, pw)[0]
-    work = (mesh_hit & (row < height)).astype(jnp.float32)
+    col = tile_swizzle(col_img.reshape(1, -1), ph, pw)[0]
+    work = (mesh_hit & (row < height) & (col < width)).astype(jnp.float32)
     per_block = np.asarray(work.reshape(n_blocks, LANES).sum(axis=1))
     counts = np.array([int(per_block[dev_blocks[b]].sum())
                        for b in range(n_dev)])

@@ -153,8 +153,11 @@ def intersect_scene(scene: Scene, meta: SceneMeta, L, stat_cam, dir4,
         # Fused Pallas path: every object's frame-composed constants sit in
         # SMEM and each ray block is walked against ALL objects in VMEM --
         # one HBM pass, vs ceil(O/8) chunked passes of (8, N) transients
-        # (cubes.txt: 14.6ms -> the kernel's single pass) . Same
-        # spheres-then-cubes order, so strict-< tie-breaking matches.
+        # (cubes.txt: 14.6ms -> the kernel's single pass). Spheres walk
+        # before cubes like the jnp merge; WITHIN a kind the walk runs in
+        # bucket-floor order, so at an exact fp tie of hit t the winner can
+        # be a different object than the jnp path's lowest-id pick (the
+        # parity suites tolerate tie flips; everything else is strict <).
         from .ops.pallas.analytic_kernels import (
             analytic_nearest_shared, pack_analytic_params)
 
@@ -282,7 +285,6 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     tex_w = jnp.maximum(sel_i32(objects.tex_w), 1)
     tex_h = jnp.maximum(sel_i32(objects.tex_h), 1)
     if meta.use_footprint_tex:
-        from .ops.mesh_intersect import _resolve_pallas
         from .ops.pallas.texture_kernel import (
             footprint_sample_small, footprint_sample_windowed, texture_route)
 
@@ -401,11 +403,9 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
             llen = norm3(ld3_of)
             falloff = 1.0 / (1.0 + 0.1 * llen + 0.01 * (llen * llen))
             contrib = (ndotl * falloff)[None, :] * hit_color * objects.color[i][:, None]
-            mask = did_hit & (obj != i) & objects.light[i] & (ndotl > 0) & lit
+            mask = relevant & objects.light[i] & lit
             color = color + jnp.where(mask[None, :], contrib, 0.0)
-            shadow_rays = shadow_rays + jnp.sum(
-                (did_hit & (obj != i) & (ndotl > 0)).astype(jnp.int32)
-            )
+            shadow_rays = shadow_rays + jnp.sum(relevant.astype(jnp.int32))
 
     miss = jnp.asarray(MISS_COLOR, jnp.float32)
     color = jnp.where(did_hit[None, :], color, miss[:, None])
@@ -432,11 +432,13 @@ def tile_swizzle(img_vec, ph, pw):
     return x.transpose(0, 1, 4, 2, 5, 3, 6).reshape(k, ph * pw)
 
 
-def tile_unswizzle(img_vec, ph, pw):
-    """Inverse of tile_swizzle."""
+def tile_unswizzle(img_vec, ph, pw, p=TILE):
+    """Inverse of the block-major quadrant-major pixel order: tile_swizzle
+    for the default p=TILE; the sharded folded-msaa path passes the patch
+    edge p=TILE//m (its per-pixel sample groups already averaged away)."""
     k = img_vec.shape[0]
-    h = TILE // 2
-    x = img_vec.reshape(k, ph // TILE, pw // TILE, 2, 2, h, h)
+    h = p // 2
+    x = img_vec.reshape(k, ph // p, pw // p, 2, 2, h, h)
     return x.transpose(0, 1, 3, 5, 2, 4, 6).reshape(k, ph * pw)
 
 

@@ -232,6 +232,48 @@ def test_pair_mode_matches_jnp(monkeypatch, reference_root):
         _clear()
 
 
+@pytest.mark.parametrize("T", [600, 513, 1100])
+def test_jnp_fallback_covers_tail_chunk(T):
+    """Regression: the jnp fallback's chunk count floor-divided T_pad by
+    tri_chunk, silently dropping the tail triangles whenever T_pad was not
+    a multiple of 512 (T in (512,768], (1024,1280], ...) -- rays passed
+    through geometry and shadows leaked on CPU backends. A ray aimed at the
+    LAST triangle must hit on both paths."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(41)
+    mesh = _soup_mesh(rng, T)
+    m4 = np.eye(4, dtype=np.float32)
+    o3 = np.array([0.0, 0.0, -50.0], np.float32)
+    # aim one ray at the CENTROID of each of: first tri, a mid tri, the
+    # LAST tri (vertices/edges are exact u/v boundaries where the two
+    # paths' fp orderings may legitimately disagree)
+    verts = np.asarray(mesh.vertices)
+    cent = (verts[:T] + verts[T:2 * T] + verts[2 * T:]) / 3.0
+    targets = [0, T // 2, T - 1]
+    d = np.stack([cent[i] - o3 for i in targets], axis=1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0)
+
+    t0, _, _, v0 = mesh_intersect.mesh_intersect_shared(
+        mesh, (0, T), m4, m4, o3, jnp.asarray(d), use_pallas=False)
+    t1, _, _, v1 = mesh_intersect.mesh_intersect_shared(
+        mesh, (0, T), m4, m4, o3, jnp.asarray(d), use_pallas="interpret")
+    assert np.array_equal(np.asarray(v0), np.asarray(v1)), (
+        f"fallback hit mask {np.asarray(v0)} != kernel {np.asarray(v1)}")
+    hit = np.asarray(v0)
+    assert np.allclose(np.asarray(t0)[hit], np.asarray(t1)[hit],
+                       rtol=1e-5, atol=1e-6)
+
+    o = np.broadcast_to(o3[:, None], (3, 3)).copy()
+    tg0 = np.asarray(mesh_intersect.mesh_min_t_general(
+        mesh, (0, T), m4, m4, o, d, use_pallas=False))
+    tg1 = np.asarray(mesh_intersect.mesh_min_t_general(
+        mesh, (0, T), m4, m4, o, d, use_pallas="interpret"))
+    fin = tg1 < 1e19
+    assert np.array_equal(tg0 < 1e19, fin)
+    assert np.allclose(tg0[fin], tg1[fin], rtol=1e-5, atol=1e-6)
+
+
 def test_pair_mode_chunk_economy(monkeypatch):
     """Pairing halves loop iterations BY CONSTRUCTION (j advances by 2); the
     only cost is that early termination is checked every other chunk, so a
