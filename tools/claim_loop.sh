@@ -11,9 +11,15 @@ cd "$(dirname "$0")/.." || exit 1
 INTERVAL=${1:-600}
 GRACE=${2:-300}
 ART=ROUND4_ONECLAIM.json
+# If this loop is torn down (session end), take the in-flight attempt with
+# it: an orphaned attempt blocked in PJRT creation would otherwise grab the
+# chip when the relay recovers and stall the driver's own bench run.
+# (timeout below is the SIGKILL-proof backstop.)
+pid=""
+trap '[ -n "$pid" ] && kill "$pid" 2>/dev/null' EXIT TERM INT
 while true; do
   start=$(date +%s)
-  nohup python tools/round4_one_claim.py > /tmp/oneclaim4.log 2>&1 &
+  timeout 7500 python tools/round4_one_claim.py > /tmp/oneclaim4.log 2>&1 &
   pid=$!
   echo $pid > /tmp/oneclaim4.pid
   echo "$(date +%H:%M:%S) launched one-claim pid $pid" >> /tmp/relay_status
