@@ -61,6 +61,22 @@ PARAM_COLS = 32
 CULL_MIN_OBJECTS = 5
 
 
+def _abound_mode() -> bool:
+    """Per-lane walk-bound pre-pass for the analytic NEAREST kernel.
+
+    Without it, a block's early-termination bound is max over lanes of
+    best_t -- any sky lane (hits nothing) pins that at INF, so blocks with
+    background rays walk their FULL live list every frame. The pre-pass
+    walks the live list once computing each lane's max bounding-sphere exit
+    distance (0 where every sphere is missed): a sound upper bound on any
+    hit t, so capping mb with it is exact. Costs ~1/4 of an uncull walk;
+    wins when early termination then cuts more than that. RPT_ABOUND=1
+    enables; read at trace time (A/B like RPT_PAIR)."""
+    import os
+
+    return os.environ.get("RPT_ABOUND", "").strip() == "1"
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -289,7 +305,8 @@ def _apply_nt(p_ref, g, n):
 
 def _nearest_kernel(os_ref, ms_ref, cs_ref, oc_ref, mc_ref, cc_ref,
                     p_ref, dir4_ref, t_ref, obj_ref, kind_ref, n_ref, s3_ref,
-                    *, n_spheres: int, n_cubes: int, pair: bool = False):
+                    *, n_spheres: int, n_cubes: int, pair: bool = False,
+                    abound: bool = False):
     """Walk this block's LIVE objects (per-kind front-to-back SMEM lists),
     tracking the nearest hit. Spheres walk first, then cubes (matching the
     jnp path's merge order; within a kind the order only differs at exact
@@ -330,6 +347,39 @@ def _nearest_kernel(os_ref, ms_ref, cs_ref, oc_ref, mc_ref, cc_ref,
             [jnp.where(better, s3[k], best_s3[k]) for k in range(3)],
         )
 
+    # Per-lane walk-bound pre-pass (see _abound_mode): each lane's max
+    # bounding-sphere exit over the live lists -- 0 for lanes that miss
+    # everything, so sky lanes stop pinning the early-termination bound at
+    # INF. One shared bound over both kinds is sound for each kind's walk
+    # (a larger bound only weakens termination, never skips a real hit);
+    # kinds on the static fori_loop path never skip objects, so they need
+    # no bound contribution.
+    bound_vec = None
+    if abound:
+        def bound_pass(o_ref, c_ref, offset, rs2, bound):
+            n_live = c_ref[0, 0, 0]
+
+            def bstep(j, bound):
+                g = o_ref[0, 0, j] + offset
+                d = _affine_rows(p_ref, g, dir4, with_b=False)
+                scale = _norm3(d)
+                dh = [dk / scale for dk in d]
+                ro = [p_ref[g, 12 + k] for k in range(3)]
+                b = ro[0] * dh[0] + ro[1] * dh[1] + ro[2] * dh[2]
+                c = ro[0] * ro[0] + ro[1] * ro[1] + ro[2] * ro[2] - rs2
+                disc = b * b - c
+                exit_d = jnp.maximum(-b + jnp.sqrt(jnp.maximum(disc, 0.0)), 0.0)
+                exit_t = jnp.where(disc >= 0.0, exit_d, 0.0) / scale
+                return jnp.maximum(bound, exit_t * 1.001 + 1e-3)
+
+            return jax.lax.fori_loop(0, n_live, bstep, bound)
+
+        bound_vec = jnp.zeros((nb,), jnp.float32)
+        if n_spheres >= CULL_MIN_OBJECTS:
+            bound_vec = bound_pass(os_ref, cs_ref, 0, 1.0, bound_vec)
+        if n_cubes >= CULL_MIN_OBJECTS:
+            bound_vec = bound_pass(oc_ref, cc_ref, n_spheres, 3.0, bound_vec)
+
     def walk(o_ref, m_ref, c_ref, is_sphere: bool, offset: int, state):
         n_live = c_ref[0, 0, 0]
 
@@ -345,9 +395,11 @@ def _nearest_kernel(os_ref, ms_ref, cs_ref, oc_ref, mc_ref, cc_ref,
                 live1 = (j + 1) < n_live
                 g1 = o_ref[0, 0, jnp.minimum(j + 1, n_live - 1)] + offset
                 new = obj_step(g1, is_sphere, new, live1)
-            return (j + (2 if pair else 1), jnp.max(new[0])) + new
+            nt = new[0] if bound_vec is None else jnp.minimum(new[0], bound_vec)
+            return (j + (2 if pair else 1), jnp.max(nt)) + new
 
-        st = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(INF)) + state)
+        mb0 = jnp.float32(INF) if bound_vec is None else jnp.max(bound_vec)
+        st = jax.lax.while_loop(cond, body, (jnp.int32(0), mb0) + state)
         return st[2:]
 
     state = (
@@ -431,7 +483,8 @@ def analytic_nearest_shared(params, dir4, n_spheres: int, n_cubes: int,
     from .mesh_kernels import _pair_mode
 
     kernel = functools.partial(_nearest_kernel, n_spheres=n_spheres,
-                               n_cubes=n_cubes, pair=_pair_mode())
+                               n_cubes=n_cubes, pair=_pair_mode(),
+                               abound=_abound_mode())
     row = pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
     vec3 = pl.BlockSpec((3, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
 

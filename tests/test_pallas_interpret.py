@@ -315,6 +315,39 @@ def test_pair_mode_chunk_economy(monkeypatch):
     assert np.all(paired >= single), "pairing cannot process FEWER chunks"
 
 
+SPHERES_SCENE = "\n".join(
+    ["Os\n p%d,%d,%d,0,0,0,0,1,1,1\n c0.%d,0.5,0.9" % (x, y, 6 + 2 * k, k + 1)
+     for k, (x, y) in enumerate([(-4, 0), (-2, 1), (0, -1), (2, 1), (4, 0),
+                                 (0, 3)])]
+    + ["Os\n p0,8,8,0,0,0,0,0.3,0.3,0.3\n c1,1,1\n l1", "A0.3", "R", ""])
+
+
+def test_abound_mode_matches_jnp(monkeypatch, reference_root):
+    """RPT_ABOUND=1 (per-lane walk-bound pre-pass in the analytic nearest
+    kernel) only changes early TERMINATION, never results: full-frame
+    equality on cubes.txt (34 cubes -> the cube walk) and a 7-sphere scene
+    (the sphere walk), both above CULL_MIN_OBJECTS."""
+    from relativitypathtracer_tpu import parse_scene
+    from relativitypathtracer_tpu.ops.pallas import analytic_kernels
+
+    monkeypatch.setenv("RPT_ABOUND", "1")
+    analytic_kernels.analytic_nearest_shared.clear_cache()
+    try:
+        for src in ("cubes", None):
+            if src:
+                host = load_scene_file(str(reference_root / "Scenes" / f"{src}.txt"))
+            else:
+                host = parse_scene(SPHERES_SCENE, str(reference_root))
+            scene, meta = build_scene(host)
+            ref = _render(scene, meta, False)
+            got = _render(scene, meta, "interpret")
+            diff = np.abs(ref - got)
+            assert diff.mean() < 1e-4, f"{src}: mean diff {diff.mean()}"
+            assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.002, src
+    finally:
+        analytic_kernels.analytic_nearest_shared.clear_cache()
+
+
 MULTI_SCENE = """MModels/triangle.obj
 MModels/pear.obj
 Om0

@@ -178,7 +178,7 @@ def main() -> None:
                 return frametime(scene)
             finally:
                 reconfig(RPT_SHADOW_CULL=None, RPT_PAIR=None, RPT_SUB=None,
-                         RPT_WINDOWED_MAX_ROWS=None)
+                         RPT_ABOUND=None, RPT_WINDOWED_MAX_ROWS=None)
         step(name, 240, run)
 
     ab("bunny_cull_none", "bunny", RPT_SHADOW_CULL="none")
@@ -186,6 +186,8 @@ def main() -> None:
     ab("bunny_pair", "bunny", RPT_PAIR="1")
     ab("shadows_pair", "shadows", RPT_PAIR="1")
     ab("cubes_pair", "cubes", RPT_PAIR="1")  # analytic-kernel pairing
+    ab("cubes_abound", "cubes", RPT_ABOUND="1")  # sky-lane walk-bound pre-pass
+    ab("cubes_pair_abound", "cubes", RPT_PAIR="1", RPT_ABOUND="1")
     ab("bunny_pair_sub8", "bunny", RPT_PAIR="1", RPT_SUB="8")
     ab("bunny_sub8", "bunny", RPT_SUB="8")
 

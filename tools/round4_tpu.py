@@ -1,13 +1,12 @@
 """Round-4 on-chip verification + measurement sequence, one command.
 
-Extends tools/post_outage.py (probe -> texprobe -> frametimes -> bench) with
-the round-4 VERDICT deliverables: shadow-cull A/B, folded-MSAA sublinearity,
-all-8-scene full-res parity artifact (PARITY_r04.json), and the live
-interactivity artifact (INTERACT_r04.json + gif). Every step is a SUBPROCESS
-with its own timeout, so a wedge costs one step, not the chip or this
-driver. Steps run cheapest/diagnostic first; a texprobe wedge aborts (the
-runbook then says: set RPT_WINDOWED_MAX_ROWS=0 and rerun with --skip
-texprobe).
+Subprocess-per-step fallback to tools/round4_one_claim.py (which runs
+everything in ONE relay claim; prefer it when grants are scarce): shadow-cull
+/ pairing / abound A/Bs, folded-MSAA sublinearity, all-8-scene full-res
+parity artifact (PARITY_r04.json), the live interactivity artifact, bench --
+then, dead last behind the wedge-risk boundary, texprobe and the opt-in
+windowed texture kernel. Every step is a SUBPROCESS with its own timeout, so
+a wedge costs one step, not the chip or this driver.
 
 Usage: python tools/round4_tpu.py [step...]     (default: all, in order)
        python tools/round4_tpu.py --skip step [step...]
@@ -26,9 +25,8 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 STEPS = [
     # name, argv, timeout_s, extra env
     ("probe", ["python", "-c", "import jax; print(jax.devices())"], 180, {}),
-    ("texprobe", ["python", "tools/texprobe.py"], 420, {}),
     # big-atlas scenes: default route is the TPU-proven XLA gather
-    # (WINDOWED_PROVEN gate); the _windowed opt-in steps run LAST (below)
+    # (WINDOWED_PROVEN gate); texprobe + the _windowed opt-in steps run LAST
     ("arch", ["python", "tools/frametime.py", "arch", "1024x768", "3"], 540, {}),
     ("cubes", ["python", "tools/frametime.py", "cubes", "1024x768", "3"], 540, {}),
     ("bunny", ["python", "tools/frametime.py", "bunny", "1024x768", "4"], 540, {}),
@@ -54,6 +52,8 @@ STEPS = [
      540, {"RPT_PAIR": "1"}),
     ("cubes_pair", ["python", "tools/frametime.py", "cubes", "1024x768", "3"],
      540, {"RPT_PAIR": "1"}),
+    ("cubes_abound", ["python", "tools/frametime.py", "cubes", "1024x768", "3"],
+     540, {"RPT_ABOUND": "1"}),
     # folded-MSAA sublinearity (VERDICT item 6): msaa=2 and 4 vs the msaa=1
     # bunny row above; target msaa=4 <= ~2.5x msaa=1.
     ("bunny_msaa2", ["python", "tools/frametime.py", "bunny", "1024x768", "3", "2"],
@@ -68,8 +68,10 @@ STEPS = [
                   "--size", "960x540", "--round", "04"], 900, {}),
     # headline benchmark (it also re-checks 3-case parity + large mesh)
     ("bench", ["python", "bench.py"], 1500, {}),
-    # WEDGE-RISK BOUNDARY: the windowed-kernel opt-in steps run dead last so
-    # a re-wedge costs nothing already earned (the runner aborts on timeout).
+    # WEDGE-RISK BOUNDARY: texprobe + the windowed-kernel opt-in steps run
+    # dead last so a re-wedge costs nothing already earned (the runner
+    # aborts the remaining steps on a texprobe failure or any timeout).
+    ("texprobe", ["python", "tools/texprobe.py"], 420, {}),
     ("arch_windowed", ["python", "tools/frametime.py", "arch", "1024x768", "3"],
      540, {"RPT_WINDOWED_MAX_ROWS": "1100000"}),
     ("cubes_windowed", ["python", "tools/frametime.py", "cubes", "1024x768", "3"],
