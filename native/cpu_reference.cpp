@@ -132,7 +132,15 @@ struct Hit {
 bool readBlob(const char *path, Scene &s) {
   FILE *f = std::fopen(path, "rb");
   if (!f) return false;
-  auto rd = [&](void *p, size_t n) { return std::fread(p, 1, n, f) == n; };
+  // Every short read (truncated/garbled blob) must fail the load: a Scene
+  // built from partial reads renders a wrong image with exit code 0 and
+  // shows up downstream as an inexplicable parity mismatch.
+  bool okAll = true;
+  auto rd = [&](void *p, size_t n) {
+    bool k = std::fread(p, 1, n, f) == n;
+    okAll &= k;
+    return k;
+  };
   char magic[4];
   uint32_t version = 0;
   if (!rd(magic, 4) || std::memcmp(magic, "RPTB", 4) != 0) return false;
@@ -191,9 +199,9 @@ bool readBlob(const char *path, Scene &s) {
   uint64_t tb = 0;
   rd(&tb, 8);
   s.tex.resize(tb);
-  bool ok = tb == 0 || rd(s.tex.data(), tb);
+  if (tb != 0) rd(s.tex.data(), tb);
   std::fclose(f);
-  return ok;
+  return okAll;
 }
 
 Ray cameraRay(float px, float py, int w, int h) {
@@ -286,6 +294,11 @@ bool hitTriangle(V3 A, V3 B, V3 C, const Ray &r, float &dist, float &u, float &v
 
 // Slab AABB test returning entry/exit distances and face ids. Face ids:
 // 0/1 = z-/z+, 2/3 = x-/x+, 4/5 = y-/y+ (matches the octree neighbor order).
+// Deliberately reproduces the reference's branchless form INCLUDING its
+// 0*inf NaN behavior on axis-parallel rays originating on a slab plane
+// (opencl_kernel.cl:128-170): this binary is the differential oracle, so
+// faithfulness beats robustness here (the TPU renderer itself uses a
+// NaN-safe reciprocal instead -- ops/pallas/mesh_kernels._safe_inv).
 bool hitAABB(V3 bmin, V3 bmax, const Ray &r, float &d0, float &d1, int &nearFace, int &farFace) {
   V3 inv{1.0f / r.d.x, 1.0f / r.d.y, 1.0f / r.d.z};
   int sx = inv.x < 0, sy = inv.y < 0, sz = inv.z < 0;

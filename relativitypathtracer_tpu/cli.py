@@ -54,6 +54,10 @@ def main(argv=None) -> int:
                     help="capture a jax.profiler trace of the frame loop into DIR")
     ap.add_argument("--platform", default=None, help="force a jax platform (cpu/tpu)")
     args = ap.parse_args(argv)
+    if args.frames < 1:
+        ap.error(f"--frames must be >= 1 (got {args.frames})")
+    if args.gif and args.dt <= 0:
+        ap.error(f"--gif needs --dt > 0 for its frame rate (got {args.dt})")
 
     import jax
 

@@ -233,7 +233,10 @@ def parse_scene(text: str, asset_root: str = ".", strict: bool = True) -> HostSc
     for ob in scene.objects:
         if ob.tex_offset != -1:
             idx = ob.tex_offset
-            if 3 * (idx + 1) > len(tv):
+            # idx < 0 must be rejected explicitly: Python's negative
+            # indexing would otherwise silently bind a wrapped-around
+            # texture (t-2 -> the second-to-last import).
+            if idx < 0 or 3 * (idx + 1) > len(tv):
                 raise SceneError(f"Texture index {idx} out of range")
             ob.tex_offset = tv[3 * idx + 0]
             ob.tex_w = tv[3 * idx + 1]

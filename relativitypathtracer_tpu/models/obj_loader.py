@@ -32,7 +32,7 @@ def read_obj(path: str, mesh: HostMesh) -> None:
     vert_to_tris: dict[int, list[int]] = {}
 
     with open(path, "r") as f:
-        for lineno, line in enumerate(f):
+        for lineno, line in enumerate(f, 1):
             parts = line.split()
             if not parts:
                 continue

@@ -233,15 +233,15 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
     o = host.objects
     num = len(o)
 
-    def stack(attr, default, shape):
+    def stack(attr, shape):
         if num == 0:
             return np.zeros((0, *shape), np.float32)
         return np.stack([np.asarray(getattr(ob, attr), np.float32).reshape(shape) for ob in o])
 
-    m = stack("m", None, (4, 4))
-    inv_m = stack("inv_m", None, (4, 4))
-    velocity = stack("velocity", None, (3,))
-    color = stack("color", None, (3,))
+    m = stack("m", (4, 4))
+    inv_m = stack("inv_m", (4, 4))
+    velocity = stack("velocity", (3,))
+    color = stack("color", (3,))
     types = np.array([ob.obj_type for ob in o], np.int32)
     mesh_root = np.array([ob.mesh_root for ob in o], np.int32)
     tex_offset = np.array([ob.tex_offset for ob in o], np.int32)

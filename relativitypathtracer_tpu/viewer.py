@@ -64,6 +64,7 @@ class ViewerCore:
         self.fps = 0.0  # EMA, like the reference's commented-out readout
         self.frame_count = 0  # monotone; lets clients count real frames
         self._pending = None  # one-frame device pipeline (see frame())
+        self._pending_resize = None  # set by request_resize, applied in frame()
         self._warmed: set = set()
         # Warm the whole interactive path now, not on first use: jit compiles
         # on first CALL. Un-warmed, the first keypress stalls the loop for
@@ -107,12 +108,22 @@ class ViewerCore:
 
     def resize(self, width: int, height: int) -> None:
         """Swap to a renderer compiled for the new resolution (the live
-        analog of the reference's VBO re-alloc, Render.cpp:100-119)."""
+        analog of the reference's VBO re-alloc, Render.cpp:100-119).
+        Call ONLY from the render-loop thread (it compiles and touches the
+        device); frontend threads use request_resize instead."""
         width, height = int(width), int(height)
         if (width, height) == (self.width, self.height) or width < 32 or height < 32:
             return
         self.width, self.height = width, height
         self._get_render(self.sim.interval)
+
+    def request_resize(self, width: int, height: int) -> None:
+        """Thread-safe resize request: stores the target size (one atomic
+        tuple write); frame() applies it on the render-loop thread. A
+        frontend thread calling resize() directly would issue a compile +
+        device render concurrently with the frame loop -- the concurrent
+        device access documented below as deadlocking over a relay."""
+        self._pending_resize = (int(width), int(height))
 
     def frame(self, keys_down, now_s: float | None = None) -> np.ndarray:
         """Advance one frame and render it.
@@ -137,6 +148,10 @@ class ViewerCore:
 
         keys = [c in keys_down for c in KEY_CHARS]
         self.sim = step(self.sim, keys, frame_ms)
+        pr = self._pending_resize
+        if pr is not None:
+            self._pending_resize = None
+            self.resize(*pr)
         render = self._get_render(self.sim.interval)  # compiles once per config
         t0 = time.perf_counter()
         img_dev = render(self.scene, self.sim.frame)  # async dispatch
@@ -390,7 +405,7 @@ def _make_handler(wv: _WebViewer):
                 try:
                     w = int(q.get("w", ["0"])[0])
                     h = int(q.get("h", ["0"])[0])
-                    wv.core.resize(w, h)
+                    wv.core.request_resize(w, h)
                     self._send(200, "text/plain", b"ok")
                 except ValueError:
                     self._send(400, "text/plain", b"bad size")
@@ -469,19 +484,33 @@ def main(argv=None) -> int:
         print(f"Error: {e}", file=sys.stderr)
         return 1
 
-    w, h = (int(x) for x in args.size.lower().split("x"))
+    from .cli import _parse_size
+
+    try:
+        w, h = _parse_size(args.size)
+    except ValueError:
+        print(f"Error: bad --size {args.size!r} (expected WxH)", file=sys.stderr)
+        return 1
     print(f"compiling renderer ({w}x{h})…", flush=True)
     core = ViewerCore(host, w, h, args.msaa)
 
     if args.frontend in ("auto", "window"):
+        # Fall back to the web frontend ONLY when the display itself cannot
+        # initialize; a mid-session render error must surface as the real
+        # failure, not be masked as "no display" and silently re-run on the
+        # same failing path in the web server.
         try:
-            return run_window(core, args.max_frames)
-        except Exception as e:
+            import pygame
+
+            pygame.display.init()
+        except Exception as e:  # noqa: BLE001 - headless envs raise varied types
             if args.frontend == "window":
                 print(f"Error: window frontend failed: {e}", file=sys.stderr)
                 return 1
             print(f"no display ({e.__class__.__name__}); falling back to web viewer",
                   flush=True)
+        else:
+            return run_window(core, args.max_frames)
     return run_web(core, args.port, args.max_frames)
 
 

@@ -168,6 +168,21 @@ def test_web_frontend_end_to_end():
             urllib.request.Request(f"{base}/key?c=*&d=0", method="POST"), timeout=10)
         assert stats["size"] == [64, 48]
         assert stats["speed_c"] > 0  # the held 'w' accelerated the camera
+        # POST /resize is applied on the RENDER-LOOP thread (request_resize:
+        # a handler-thread resize would compile + render concurrently with
+        # the frame loop -- the relay-deadlock pattern): the next frames
+        # must pick up the new size.
+        urllib.request.urlopen(
+            urllib.request.Request(f"{base}/resize?w=96&h=64", method="POST"),
+            timeout=10)
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            stats = json.loads(
+                urllib.request.urlopen(f"{base}/stats", timeout=10).read())
+            if stats["size"] == [96, 64]:
+                break
+            time.sleep(0.05)
+        assert stats["size"] == [96, 64]
     finally:
         stop.set()
         t.join(timeout=30)
