@@ -148,12 +148,24 @@ def main(argv=None) -> int:
         _post(port, "/key?c=w&d=0")
         _post(port, "/key?c=r&d=1"); _post(port, "/key?c=r&d=0")
 
+        # -- live resize latency (the reference's VBO re-alloc analog,
+        # Render.cpp:100-119): request a smaller surface over HTTP, time
+        # until /stats reports it (includes the new config's compile unless
+        # warmed), then restore.
+        w2, h2 = max(w // 2, 64), max(h // 2, 64)
+        _post(port, f"/resize?w={w2}&h={h2}")
+        lat_resize = _await_stats(
+            port, lambda s: s["size"] == [w2, h2], timeout_s=240) * 1e3
+        _post(port, f"/resize?w={w}&h={h}")
+        _await_stats(port, lambda s: s["size"] == [w, h], timeout_s=240)
+
         result.update({
             "idle_fps": round(idle_fps, 2),
             "flying_fps": round(fly_fps, 2),
             "key_latency_ms_space_p50": round(sorted(lat_space)[2], 2),
             "key_latency_ms_space_all": [round(x, 2) for x in lat_space],
             "key_latency_ms_w": round(lat_w, 2),
+            "resize_latency_ms_first": round(lat_resize, 2),
             "frames_counted": n0 + n1,
             "cadence_cap_fps": round(1.0 / 0.015, 1),
         })
