@@ -27,3 +27,61 @@ def reference_root():
     if not REFERENCE_ROOT.exists():
         pytest.skip("reference asset tree not available")
     return REFERENCE_ROOT
+
+
+# Two-mesh scene with a point light: exercises the batched multi-mesh
+# kernels (primary + shadow). Shared by the interpret, oracle-parity and
+# large-mesh suites (one copy: drift between copies weakens coverage).
+MULTI_SCENE = """MModels/triangle.obj
+MModels/pear.obj
+Om0
+ p-2,0,6,0,0,1,0,2,2,2
+ c0.9,0.2,0.2
+Om1
+ p2,0,6,0,0,1,0,1,1,1
+ c0.2,0.9,0.2
+Os
+ p0,4,4,0,0,0,0,0.2,0.2,0.2
+ c1,1,1
+ l1
+A0.3
+R
+"""
+
+
+def render_with_mode(scene, meta, mode, w=128, h=64, state=None):
+    """Render with the mesh-kernel routing forced to `mode` (False = jnp
+    fallback, "interpret" = real Pallas kernels in interpret mode), with
+    the renderer cache cleared on BOTH sides so a failure cannot leave a
+    poisoned mode in build_render_fn's lru cache."""
+    import numpy as np
+
+    from relativitypathtracer_tpu import FrameState, render_frame
+    from relativitypathtracer_tpu.ops import mesh_intersect
+    from relativitypathtracer_tpu.render import build_render_fn
+
+    mesh_intersect.PALLAS_MODE = mode
+    build_render_fn.cache_clear()  # cached renderers close over the mode
+    try:
+        return np.asarray(render_frame(
+            scene, meta, state or FrameState.initial(), w, h))
+    finally:
+        mesh_intersect.PALLAS_MODE = None
+        build_render_fn.cache_clear()
+
+
+def clear_kernel_caches():
+    """Clear every trace-time-knob consumer (kernel-wrapper jits + the
+    renderer lru cache): required after flipping RPT_PAIR / RPT_SHADOW_CULL
+    / RPT_ABOUND, since nested jits cache jaxprs keyed only on shapes."""
+    from relativitypathtracer_tpu.ops.pallas import (
+        analytic_kernels, mesh_batch, mesh_kernels)
+    from relativitypathtracer_tpu.render import build_render_fn
+
+    mesh_kernels.shared_nearest_hit.clear_cache()
+    mesh_kernels.general_min_t.clear_cache()
+    mesh_batch.batched_nearest_shared.clear_cache()
+    mesh_batch.batched_min_t_general.clear_cache()
+    analytic_kernels.analytic_nearest_shared.clear_cache()
+    analytic_kernels.analytic_min_t_general.clear_cache()
+    build_render_fn.cache_clear()

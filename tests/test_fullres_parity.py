@@ -23,15 +23,19 @@ import pytest
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
-def test_midres_oracle_parity_always():
-    """Ungated medium-resolution (448x336) oracle parity on shadows.txt --
+def test_midres_oracle_parity_always(reference_root):
+    """Medium-resolution (448x336) oracle parity on shadows.txt --
     mesh + analytic + shadow rays through the whole frame pipeline at a
     resolution where tile padding, early-termination bounds and footprint
     margins differ from the 192x108 smoke suite. ~80 s on a CPU host; keeps
     a resolution-sensitive check in CI even when the full-res tier below
     is skipped (VERDICT r3 weak #3)."""
+    import shutil
+
     from relativitypathtracer_tpu.utils.parity import fullres_parity
 
+    if not (REPO / "native" / "cpu_reference").exists() and not shutil.which("g++"):
+        pytest.skip("no prebuilt oracle and no g++ to build it")
     res = fullres_parity("shadows", 448, 336)
     assert res["ok"], res
     assert res["frac_bad"] <= 0.0005, res

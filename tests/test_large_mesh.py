@@ -115,7 +115,7 @@ def test_large_path_multi_mesh(reference_root, force_large):
     """Multi-mesh scene forced through the large tier: the scene build must
     skip the (VMEM-bound) batch pool and the per-object kernel loop must
     route every mesh through the large kernels, matching the small path."""
-    from tests.test_pallas_interpret import MULTI_SCENE
+    from conftest import MULTI_SCENE
     from relativitypathtracer_tpu.models.dsl import parse_scene
 
     host = parse_scene(MULTI_SCENE, str(reference_root))

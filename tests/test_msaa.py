@@ -51,8 +51,14 @@ def test_folded_msaa_equals_single_sample(reference_root, monkeypatch):
     ref = np.asarray(build_render_fn(meta, W, H, meta.default_interval, 1)(scene, state))
     monkeypatch.setattr(render_mod, "camera_ray_dirs", fake_dirs)
     build_render_fn.cache_clear()
-    out = np.asarray(build_render_fn(meta, W, H, meta.default_interval, 2)(scene, state))
-    build_render_fn.cache_clear()
+    try:
+        out = np.asarray(
+            build_render_fn(meta, W, H, meta.default_interval, 2)(scene, state))
+    finally:
+        # monkeypatch restores camera_ray_dirs, but the lru cache would
+        # otherwise keep a fake-dirs renderer under this (meta, W, H, 2)
+        # key and poison later tests that build the same configuration.
+        build_render_fn.cache_clear()
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 

@@ -23,7 +23,7 @@ ORACLE = REPO / "native" / "cpu_reference"
 W, H = 192, 108
 
 SCENES = ["cube", "soccer", "arch", "cubes", "ladder_paradox", "rulers", "shadows", "bunny"]
-# scene -> (max fraction of pixels allowed above 1e-3, scene time)
+# scene -> max fraction of pixels allowed above 1e-3
 TOL = {name: 0.005 for name in SCENES}
 
 
@@ -81,21 +81,8 @@ def test_multi_mesh_scene(oracle, reference_root, tmp_path):
     seeded with ALL triangles but SAT-cull foreign ones during subdivision
     (SURVEY.md 3.4); our reachable-set must reproduce that (mesh 2's
     instance must NOT render mesh 1's geometry)."""
-    text = """MModels/triangle.obj
-MModels/pear.obj
-Om0
- p-2,0,6,0,0,1,0,2,2,2
- c0.9,0.2,0.2
-Om1
- p2,0,6,0,0,1,0,1,1,1
- c0.2,0.9,0.2
-Os
- p0,4,4,0,0,0,0,0.2,0.2,0.2
- c1,1,1
- l1
-A0.3
-R
-"""
+    from conftest import MULTI_SCENE as text
+
     from relativitypathtracer_tpu import build_scene, parse_scene
 
     host = parse_scene(text, str(reference_root))

@@ -11,25 +11,11 @@ here.
 
 import numpy as np
 import pytest
+from conftest import MULTI_SCENE, clear_kernel_caches, render_with_mode as _render
 
-from relativitypathtracer_tpu import FrameState, build_scene, load_scene_file, render_frame
+from relativitypathtracer_tpu import build_scene, load_scene_file
 from relativitypathtracer_tpu.models.scene import MeshArrays
 from relativitypathtracer_tpu.ops import mesh_intersect
-from relativitypathtracer_tpu.render import build_render_fn
-
-W, H = 128, 64
-
-
-def _render(scene, meta, mode):
-    """Render with the mesh-kernel routing forced to `mode` (False = jnp
-    fallback, "interpret" = real Pallas kernels in interpret mode)."""
-    mesh_intersect.PALLAS_MODE = mode
-    build_render_fn.cache_clear()  # cached renderers close over the mode
-    try:
-        return np.asarray(render_frame(scene, meta, FrameState.initial(), W, H))
-    finally:
-        mesh_intersect.PALLAS_MODE = None
-        build_render_fn.cache_clear()
 
 
 @pytest.mark.parametrize("name", ["shadows", "bunny", "cubes", "cube", "soccer"])
@@ -89,6 +75,7 @@ def test_interpret_shared_kernel_random_soup():
         mesh, (0, 300), m4, m4, o3, d, use_pallas="interpret")
     assert np.array_equal(np.asarray(v0), np.asarray(v1))
     hit = np.asarray(v0)
+    assert hit.any(), "soup aimed-at rays produced zero hits (vacuous test)"
     assert np.allclose(np.asarray(t0)[hit], np.asarray(t1)[hit], rtol=1e-5, atol=1e-6)
 
 
@@ -111,6 +98,7 @@ def test_interpret_general_kernel_tmax_semantics():
         mesh, (0, 200), m4, m4, o, d, use_pallas="interpret", tmax=tmax))
 
     inside = t_true < tmax
+    assert inside.any(), "no hit landed inside its bound (vacuous test)"
     assert np.allclose(t_k[inside], t_true[inside], rtol=1e-5, atol=1e-6)
     assert np.all(t_k[~inside] >= tmax[~inside] * (1 - 1e-6))
 
@@ -124,6 +112,7 @@ def test_general_kernel_segment_cull_modes(mode, monkeypatch):
     from relativitypathtracer_tpu.ops.pallas import mesh_kernels
 
     monkeypatch.setenv("RPT_SHADOW_CULL", mode)
+    assert mesh_kernels._shadow_cull_mode() == mode  # knob actually engaged
     mesh_kernels.general_min_t.clear_cache()  # mode is read at trace time
     try:
         rng = np.random.default_rng(17)
@@ -153,16 +142,7 @@ def test_pair_mode_matches_jnp(monkeypatch, reference_root):
     kernel-level equality on random soup for BOTH kernels (odd/even live
     counts both occur across blocks, exercising the duplicate-masked tail)
     plus a full shadows.txt frame (primary attrs + tmax-bounded shadows)."""
-    from relativitypathtracer_tpu.ops.pallas import (
-        analytic_kernels, mesh_batch, mesh_kernels)
-
-    def _clear():  # pair is read at trace time (nested jits cache jaxprs)
-        mesh_kernels.shared_nearest_hit.clear_cache()
-        mesh_kernels.general_min_t.clear_cache()
-        mesh_batch.batched_nearest_shared.clear_cache()
-        mesh_batch.batched_min_t_general.clear_cache()
-        analytic_kernels.analytic_nearest_shared.clear_cache()
-        analytic_kernels.analytic_min_t_general.clear_cache()
+    _clear = clear_kernel_caches  # pair is read at trace time
 
     monkeypatch.setenv("RPT_PAIR", "1")
     _clear()
@@ -258,9 +238,10 @@ def test_jnp_fallback_covers_tail_chunk(T):
         mesh, (0, T), m4, m4, o3, jnp.asarray(d), use_pallas=False)
     t1, _, _, v1 = mesh_intersect.mesh_intersect_shared(
         mesh, (0, T), m4, m4, o3, jnp.asarray(d), use_pallas="interpret")
-    assert np.array_equal(np.asarray(v0), np.asarray(v1)), (
-        f"fallback hit mask {np.asarray(v0)} != kernel {np.asarray(v1)}")
     hit = np.asarray(v0)
+    assert hit.all(), f"centroid-aimed rays must all hit (got {hit})"
+    assert np.array_equal(hit, np.asarray(v1)), (
+        f"fallback hit mask {hit} != kernel {np.asarray(v1)}")
     assert np.allclose(np.asarray(t0)[hit], np.asarray(t1)[hit],
                        rtol=1e-5, atol=1e-6)
 
@@ -270,6 +251,7 @@ def test_jnp_fallback_covers_tail_chunk(T):
     tg1 = np.asarray(mesh_intersect.mesh_min_t_general(
         mesh, (0, T), m4, m4, o, d, use_pallas="interpret"))
     fin = tg1 < 1e19
+    assert fin.all(), f"centroid-aimed rays must all hit (got {fin})"
     assert np.array_equal(tg0 < 1e19, fin)
     assert np.allclose(tg0[fin], tg1[fin], rtol=1e-5, atol=1e-6)
 
@@ -331,6 +313,7 @@ def test_abound_mode_matches_jnp(monkeypatch, reference_root):
     from relativitypathtracer_tpu.ops.pallas import analytic_kernels
 
     monkeypatch.setenv("RPT_ABOUND", "1")
+    assert analytic_kernels._abound_mode()  # knob actually engaged
     analytic_kernels.analytic_nearest_shared.clear_cache()
     try:
         for src in ("cubes", None):
@@ -346,23 +329,6 @@ def test_abound_mode_matches_jnp(monkeypatch, reference_root):
             assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.002, src
     finally:
         analytic_kernels.analytic_nearest_shared.clear_cache()
-
-
-MULTI_SCENE = """MModels/triangle.obj
-MModels/pear.obj
-Om0
- p-2,0,6,0,0,1,0,2,2,2
- c0.9,0.2,0.2
-Om1
- p2,0,6,0,0,1,0,1,1,1
- c0.2,0.9,0.2
-Os
- p0,4,4,0,0,0,0,0.2,0.2,0.2
- c1,1,1
- l1
-A0.3
-R
-"""
 
 
 def test_interpret_batched_multimesh_matches_jnp(reference_root):

@@ -95,9 +95,9 @@ def test_sharded_interpret_pair_mode(reference_root, monkeypatch):
     """Chunk pairing (RPT_PAIR) composed with shard_map: the sharded band
     renderer through the production kernel bodies must still match the
     single-device jnp render bitwise-close when pairing is on."""
+    from conftest import clear_kernel_caches
+
     from relativitypathtracer_tpu.ops import mesh_intersect
-    from relativitypathtracer_tpu.ops.pallas import mesh_kernels
-    from relativitypathtracer_tpu.render import build_render_fn
 
     host = load_scene_file(str(reference_root / "Scenes" / "shadows.txt"))
     scene, meta = build_scene(host)
@@ -106,18 +106,17 @@ def test_sharded_interpret_pair_mode(reference_root, monkeypatch):
     single = np.asarray(render_frame(scene, meta, state, W, H))
     monkeypatch.setenv("RPT_PAIR", "1")
     mesh_intersect.PALLAS_MODE = "interpret"
-    mesh_kernels.shared_nearest_hit.clear_cache()
-    mesh_kernels.general_min_t.clear_cache()
-    build_render_fn.cache_clear()
+    # Full clear set: shadows.txt ALSO runs the analytic kernels, whose
+    # nested jits would otherwise serve stale pair-OFF traces from the
+    # preceding default-mode test (identical static shapes).
+    clear_kernel_caches()
     try:
         mesh = default_mesh(4)
         render = build_sharded_render_fn(meta, W, H, meta.default_interval, mesh)
         sharded = np.asarray(render(scene, state))
     finally:
         mesh_intersect.PALLAS_MODE = None
-        mesh_kernels.shared_nearest_hit.clear_cache()
-        mesh_kernels.general_min_t.clear_cache()
-        build_render_fn.cache_clear()
+        clear_kernel_caches()
     # pairing changes only reduce grouping; hit/miss ties may flip a pixel
     diff = np.abs(sharded - single)
     assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.002

@@ -11,11 +11,10 @@ same image end-to-end.
 
 import numpy as np
 import pytest
+from conftest import render_with_mode as _render
 
-from relativitypathtracer_tpu import FrameState, build_scene, load_scene_file, render_frame
-from relativitypathtracer_tpu.ops import mesh_intersect
+from relativitypathtracer_tpu import build_scene, load_scene_file
 from relativitypathtracer_tpu.ops.pallas import texture_kernel as tk
-from relativitypathtracer_tpu.render import build_render_fn
 
 
 def test_route_defaults():
@@ -50,16 +49,6 @@ def test_route_env_overrides(monkeypatch):
     assert tk.texture_route(tk.MAX_ROWS + 1, True) == "gather"
     monkeypatch.setenv("RPT_WINDOWED_MAX_ROWS", "")  # empty = gate default
     assert tk.texture_route(tk.MAX_ROWS + 1, True) == "windowed"
-
-
-def _render(scene, meta, mode, w=128, h=64):
-    mesh_intersect.PALLAS_MODE = mode
-    build_render_fn.cache_clear()
-    try:
-        return np.asarray(render_frame(scene, meta, FrameState.initial(), w, h))
-    finally:
-        mesh_intersect.PALLAS_MODE = None
-        build_render_fn.cache_clear()
 
 
 def test_windowed_opt_in_end_to_end(reference_root, monkeypatch):
