@@ -16,8 +16,27 @@ ART=ROUND4_ONECLAIM.json
 # chip when the relay recovers and stall the driver's own bench run.
 # (timeout below is the SIGKILL-proof backstop.)
 pid=""
-trap '[ -n "$pid" ] && kill "$pid" 2>/dev/null' EXIT TERM INT
+trap '[ -n "$pid" ] && kill "$pid" 2>/dev/null' EXIT
+trap '[ -n "$pid" ] && kill "$pid" 2>/dev/null; exit 143' TERM INT
+
+# The round driver runs `python bench.py` itself at round end. Two TPU
+# processes through the relay stall EACH OTHER, so a foreign bench.py (one
+# we did not start) means: kill any in-flight attempt and stand down until
+# it is gone. Detection only -- never kill by pattern.
+foreign_bench() {
+  for b in $(pgrep -f 'python[^ ]* ([^ ]*/)?bench\.py' 2>/dev/null); do
+    [ "$b" != "$$" ] && [ "$b" != "${bench_pid:-x}" ] && return 0
+  done
+  return 1
+}
+
 while true; do
+  if foreign_bench; then
+    [ -n "$pid" ] && { kill "$pid" 2>/dev/null; sleep 2; kill -9 "$pid" 2>/dev/null; pid=""; }
+    echo "$(date +%H:%M:%S) standing down (driver bench.py running)" >> /tmp/relay_status
+    sleep 60
+    continue
+  fi
   start=$(date +%s)
   timeout 7500 python tools/round4_one_claim.py > /tmp/oneclaim4.log 2>&1 &
   pid=$!
@@ -26,16 +45,46 @@ while true; do
   ok=0
   while [ $(( $(date +%s) - start )) -lt "$GRACE" ]; do
     sleep 10
+    if foreign_bench; then ok=2; break; fi
     if [ -f "$ART" ] && [ "$(stat -c %Y "$ART")" -ge "$start" ]; then
       ok=1; break
     fi
     kill -0 "$pid" 2>/dev/null || break  # died outright (import error etc.)
   done
+  if [ "$ok" = "2" ]; then
+    kill "$pid" 2>/dev/null; sleep 2; kill -9 "$pid" 2>/dev/null; pid=""
+    echo "$(date +%H:%M:%S) yielded attempt to driver bench" >> /tmp/relay_status
+    continue
+  fi
   if [ "$ok" = "1" ]; then
     echo "$(date +%H:%M:%S) CLAIM LIVE -- sequence running" >> /tmp/relay_status
+    while kill -0 "$pid" 2>/dev/null; do
+      if foreign_bench; then
+        # The driver's end-of-round bench outranks everything: incremental
+        # artifacts are already on disk, so yield the chip immediately.
+        kill "$pid" 2>/dev/null; sleep 2; kill -9 "$pid" 2>/dev/null
+        echo "$(date +%H:%M:%S) killed live sequence: yielding to driver bench" >> /tmp/relay_status
+        exit 0
+      fi
+      sleep 10
+    done
     wait "$pid"
     echo "$(date +%H:%M:%S) one-claim exited rc=$?" >> /tmp/relay_status
-    timeout 1700 python bench.py > /tmp/bench_r04_live.json 2>/tmp/bench_r04_live.log
+    foreign_bench && exit 0
+    # No `timeout` wrapper here: the python process must BE $bench_pid so
+    # foreign_bench can exclude it; the poll loop enforces the deadline.
+    python bench.py > /tmp/bench_r04_live.json 2>/tmp/bench_r04_live.log &
+    bench_pid=$!
+    bstart=$(date +%s)
+    while kill -0 "$bench_pid" 2>/dev/null; do
+      if foreign_bench || [ $(( $(date +%s) - bstart )) -gt 1700 ]; then
+        kill "$bench_pid" 2>/dev/null; sleep 2; kill -9 "$bench_pid" 2>/dev/null
+        echo "$(date +%H:%M:%S) killed our bench (yield or 1700s deadline)" >> /tmp/relay_status
+        exit 0
+      fi
+      sleep 10
+    done
+    wait "$bench_pid"
     echo "$(date +%H:%M:%S) bench exited rc=$? (/tmp/bench_r04_live.json)" >> /tmp/relay_status
     exit 0
   fi

@@ -142,6 +142,26 @@ def main() -> None:
         analytic_kernels.analytic_min_t_general.clear_cache()
         build_render_fn.cache_clear()
 
+    # ---- tier 0: the headline bench protocol FIRST (VERDICT r3 item 1 --
+    # the single most important artifact; round 3 showed a recovery window
+    # can grant exactly one short claim, so the p50/Mrays number must land
+    # within the first minutes, before anything optional) ----
+    def bench_inline():
+        host = load_scene_file(str(REF / "Scenes" / "bunny.txt"))
+        sc, mt = build_scene(host)
+        render = build_render_fn(mt, W, H, mt.default_interval, 1, True)
+        samples, (_img, aux) = chained_samples_ms(
+            render, sc, FrameState.initial(), nbatch=10, batch=12)
+        shadow_rays = int(aux["shadow_rays"])
+        samples.sort()
+        p50 = percentile(samples, 50)
+        mrays = (W * H + shadow_rays) / (p50 * 1e3)
+        return {"frame_ms_p50": round(p50, 3), "mrays": round(mrays, 3),
+                "p95_ms": round(percentile(samples, 95), 3),
+                "shadow_rays": shadow_rays}
+
+    step("bench_protocol", 300, bench_inline)
+
     # ---- tier 1: round-2-proven kernels ----
     step("bunny", 240, lambda: frametime("bunny"))
     step("shadows", 180, lambda: frametime("shadows"))
@@ -166,30 +186,29 @@ def main() -> None:
     step("parity_bunny", 240, lambda: parity("bunny"))
     step("parity_shadows", 180, lambda: parity("shadows"))
 
+    # ---- big-atlas scenes on the (safe, default) XLA-gather route
+    # (VERDICT item 2 wants a recorded arch/cubes frametime either way) ----
+    step("arch", 300, lambda: frametime("arch"))
+    step("cubes", 300, lambda: frametime("cubes"))
+
     # ---- msaa sublinearity (VERDICT item 6) ----
     step("bunny_msaa2", 240, lambda: frametime("bunny", msaa=2, frames=6))
     step("bunny_msaa4", 300, lambda: frametime("bunny", msaa=4, frames=6))
 
-    # ---- A/B knobs, in-process (VERDICT item 4 + round-4 pairing) ----
-    def ab(name, scene, **env):
-        def run():
-            reconfig(**env)
-            try:
-                return frametime(scene)
-            finally:
-                reconfig(RPT_SHADOW_CULL=None, RPT_PAIR=None, RPT_SUB=None,
-                         RPT_ABOUND=None, RPT_WINDOWED_MAX_ROWS=None)
-        step(name, 240, run)
-
-    ab("bunny_cull_none", "bunny", RPT_SHADOW_CULL="none")
-    ab("shadows_cull_none", "shadows", RPT_SHADOW_CULL="none")
-    ab("bunny_pair", "bunny", RPT_PAIR="1")
-    ab("shadows_pair", "shadows", RPT_PAIR="1")
-    ab("cubes_pair", "cubes", RPT_PAIR="1")  # analytic-kernel pairing
-    ab("cubes_abound", "cubes", RPT_ABOUND="1")  # sky-lane walk-bound pre-pass
-    ab("cubes_pair_abound", "cubes", RPT_PAIR="1", RPT_ABOUND="1")
-    ab("bunny_pair_sub8", "bunny", RPT_PAIR="1", RPT_SUB="8")
-    ab("bunny_sub8", "bunny", RPT_SUB="8")
+    # ---- all-8 full-res parity sweep (VERDICT item 3; all scenes route
+    # through TPU-proven kernels under the WINDOWED_PROVEN gate) ----
+    boosted = FrameState(
+        cam_velocity=jnp.array([0.3, 0.1, -0.2], jnp.float32),
+        cam_pos=jnp.array([2.5, 0, 0, 0], jnp.float32),
+    )
+    for name in ("arch", "cube", "cubes", "ladder_paradox", "rulers", "soccer"):
+        step(f"parity_{name}", 240, lambda n=name: parity(n))
+    step("parity_rulers_boosted", 240,
+         lambda: parity("rulers", state=boosted, tag="rulers_boosted"))
+    if parity_results:
+        p = json.loads((ART_DIR / f"PARITY_r{ROUND_TAG}.json").read_text())
+        p["complete"] = len(parity_results) >= 9
+        (ART_DIR / f"PARITY_r{ROUND_TAG}.json").write_text(json.dumps(p, indent=1))
 
     # ---- large-mesh tier ----
     def large():
@@ -209,44 +228,32 @@ def main() -> None:
 
     step("interact", 420, interact)
 
-    # ---- headline bench protocol, inline (the driver's bench.py subprocess
-    # would need a second claim while this one is held) ----
-    def bench_inline():
-        host = load_scene_file(str(REF / "Scenes" / "bunny.txt"))
-        sc, mt = build_scene(host)
-        render = build_render_fn(mt, W, H, mt.default_interval, 1, True)
-        samples, (_img, aux) = chained_samples_ms(
-            render, sc, FrameState.initial(), nbatch=10, batch=12)
-        shadow_rays = int(aux["shadow_rays"])
-        samples.sort()
-        p50 = percentile(samples, 50)
-        mrays = (W * H + shadow_rays) / (p50 * 1e3)
-        return {"frame_ms_p50": round(p50, 3), "mrays": round(mrays, 3),
-                "p95_ms": round(percentile(samples, 95), 3),
-                "shadow_rays": shadow_rays}
+    # ---- A/B knobs, in-process (VERDICT item 4 + round-4 pairing; builder-
+    # facing gate-flip evidence, so they run after every judge-facing
+    # artifact is already on disk) ----
+    def ab(name, scene, **env):
+        def run():
+            reconfig(**env)
+            try:
+                return frametime(scene)
+            finally:
+                reconfig(RPT_SHADOW_CULL=None, RPT_PAIR=None, RPT_SUB=None,
+                         RPT_ABOUND=None, RPT_WINDOWED_MAX_ROWS=None,
+                         RPT_ORDER2=None)
+        step(name, 240, run)
 
-    step("bench_protocol", 300, bench_inline)
-
-    # ---- big-atlas scenes on the (safe, default) XLA-gather route ----
-    step("arch", 300, lambda: frametime("arch"))
-    step("cubes", 300, lambda: frametime("cubes"))
-
-    # ---- all-8 full-res parity sweep (VERDICT item 3; all scenes route
-    # through TPU-proven kernels under the WINDOWED_PROVEN gate) ----
-    done = {r["scene"] for r in parity_results}
-    boosted = FrameState(
-        cam_velocity=jnp.array([0.3, 0.1, -0.2], jnp.float32),
-        cam_pos=jnp.array([2.5, 0, 0, 0], jnp.float32),
-    )
-    for name in ("arch", "cube", "cubes", "ladder_paradox", "rulers", "soccer"):
-        if name not in done:
-            step(f"parity_{name}", 240, lambda n=name: parity(n))
-    step("parity_rulers_boosted", 240,
-         lambda: parity("rulers", state=boosted, tag="rulers_boosted"))
-    if parity_results:
-        p = json.loads((ART_DIR / f"PARITY_r{ROUND_TAG}.json").read_text())
-        p["complete"] = len(parity_results) >= 9
-        (ART_DIR / f"PARITY_r{ROUND_TAG}.json").write_text(json.dumps(p, indent=1))
+    ab("bunny_cull_none", "bunny", RPT_SHADOW_CULL="none")
+    ab("shadows_cull_none", "shadows", RPT_SHADOW_CULL="none")
+    ab("bunny_pair", "bunny", RPT_PAIR="1")
+    ab("shadows_pair", "shadows", RPT_PAIR="1")
+    ab("bunny_order2", "bunny", RPT_ORDER2="8")
+    ab("shadows_order2", "shadows", RPT_ORDER2="8")
+    ab("bunny_order2_pair", "bunny", RPT_ORDER2="8", RPT_PAIR="1")
+    ab("cubes_pair", "cubes", RPT_PAIR="1")  # analytic-kernel pairing
+    ab("cubes_abound", "cubes", RPT_ABOUND="1")  # sky-lane walk-bound pre-pass
+    ab("cubes_pair_abound", "cubes", RPT_PAIR="1", RPT_ABOUND="1")
+    ab("bunny_pair_sub8", "bunny", RPT_PAIR="1", RPT_SUB="8")
+    ab("bunny_sub8", "bunny", RPT_SUB="8")
 
     # ================= WEDGE-RISK BOUNDARY =================
     # Everything below exercises the windowed Morton texture kernel (the
