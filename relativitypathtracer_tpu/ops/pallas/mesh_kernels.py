@@ -195,6 +195,102 @@ def bucket_order(mind, overlap):
     return order[:, None, :], key[:, None, :], counts[:, None, None]
 
 
+def pack_bits(overlap):
+    """(B, C) bool -> (B, ceil(C/32)) int32 bitmask (bit k of word w = chunk
+    w*32+k). Distinct powers of two: the int32 sum is an exact OR (bit 31
+    lands on the sign bit, which the kernel's arithmetic-shift read handles)."""
+    B, C = overlap.shape
+    W32 = -(-C // 32)
+    pad = W32 * 32 - C
+    ov = jnp.pad(overlap, ((0, 0), (0, pad)))
+    weights = (jnp.int32(1) << jnp.arange(32, dtype=jnp.int32))  # [.., -2^31]
+    return jnp.sum(jnp.where(ov.reshape(B, W32, 32), weights[None, None, :], 0),
+                   axis=2).astype(jnp.int32)
+
+
+def super_spheres(spheres, s):
+    """Bounding sphere per superchunk of `s` consecutive chunk spheres.
+    Padding chunks EDGE-REPLICATE the last real sphere: a far-away pad
+    sphere would blow the last super's radius to INF (corner distances
+    overflow f32), making its cull mind INF - INF = NaN -- which poisons
+    the whole block's bucket floors and stops every walk at p=0. Duplicates
+    cannot extend the union, and pad positions stay dead via the chunk
+    bitmask anyway."""
+    C = spheres.shape[0]
+    C_s = -(-C // s)
+    pad = C_s * s - C
+    sp = jnp.concatenate([spheres, jnp.broadcast_to(spheres[-1], (pad, 4))],
+                         axis=0)
+    c, r = sp[:, :3].reshape(C_s, s, 3), sp[:, 3].reshape(C_s, s, 1)
+    lo = jnp.min(c - r, axis=1)
+    hi = jnp.max(c + r, axis=1)
+    ctr = (lo + hi) / 2.0
+    rad = jnp.sqrt(jnp.sum(((hi - lo) / 2.0) ** 2, axis=1))
+    return jnp.concatenate([ctr, rad[:, None]], axis=1)
+
+
+def _walk_scaffold(order_ref, count_ref, bits_ref, C, S):
+    """Shared cursor machinery: bit test, position->chunk, skip-advance."""
+    n_live = count_ref[0, 0, 0]
+    end = n_live * S
+
+    def chunk_at(p):
+        return order_ref[0, 0, p // S] * S + (p % S)
+
+    def live(p):
+        # Clamp: `&` is not short-circuit, so advance's cond evaluates
+        # live(end) -- with every super live that would read
+        # order_ref[0, 0, n_live], one past the SMEM window.
+        k = chunk_at(jnp.minimum(p, jnp.maximum(end - 1, 0)))
+        return ((bits_ref[0, 0, k >> 5] >> (k & 31)) & 1) != 0
+
+    def advance(p):
+        # next live position >= p (dead chunks cost a few scalar cycles)
+        return jax.lax.while_loop(
+            lambda q: (q < end) & jnp.logical_not(live(q)), lambda q: q + 1, p)
+
+    return n_live, end, chunk_at, advance
+
+
+def _order2_s() -> int:
+    """Two-level live lists for the VMEM-resident kernels (RPT_ORDER2 = S,
+    the chunks-per-superchunk ordering granularity; 0/unset = off).
+
+    bucket_order's permutation inversion is O(C^2) per ray block -- ~40% of
+    the live-list build on bunny-sized chunk pools and growing quadratically
+    with scene size. RPT_ORDER2=S runs the front-to-back ordering on
+    superchunks of S Morton-consecutive chunks (O((C/S)^2)) and keeps the
+    per-chunk cull tightness via the (block, chunk) overlap bitmask + scalar
+    skip-advance walk that the large-mesh tier already proved on chip
+    (mesh_large._walk_scaffold). Early termination coarsens to superchunk
+    bucket floors (floor <= every child chunk's mind, still sound). Read at
+    trace time; A/B like the other knobs (one process per mode, or
+    clear_cache + renderer cache_clear in-process)."""
+    v = os.environ.get("RPT_ORDER2", "").strip()
+    s = int(v) if v else 0
+    if s and s not in (2, 4, 8, 16, 32):
+        # bits words hold 32 chunks: S must divide 32 so the padded tail
+        # positions of the last super stay inside the bitmask (dead bits).
+        raise ValueError(f"RPT_ORDER2 must be one of 2/4/8/16/32, got {v!r}")
+    return s
+
+
+def live_chunk_lists2(spheres, dh_p, o_p, valid=None, lane_bound=None, s=8):
+    """Two-level live lists: super-level front-to-back order + chunk bits.
+
+    Same contract as live_chunk_lists, but ordering (and its O(C^2)
+    inversion) runs on superchunks of `s` consecutive chunks; per-chunk
+    tightness is recovered by a (B, C) overlap bitmask the kernels consult
+    with cheap scalar reads (mesh_large's proven structure, minus the DMA).
+    Returns (order (B, 1, C_s), minds (B, 1, C_s), counts (B, 1, 1),
+    bits (B, 1, ceil(C/32)))."""
+    ssph = super_spheres(spheres, s)
+    order, minds, counts = bucket_order(
+        *_sub_cone_cull(ssph, dh_p, o_p, valid, lane_bound))
+    _, over_c = _sub_cone_cull(spheres, dh_p, o_p, valid, lane_bound)
+    return order, minds, counts, pack_bits(over_c)[:, None, :]
+
+
 def live_chunk_lists(spheres, dh_p, o_p, valid=None, lane_bound=None):
     """Dense (block, chunk) culling + compaction, all outside the kernel.
 
@@ -290,18 +386,30 @@ def _mt_mask(det, u, v, dist, tri_ok):
 
 
 def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
-                   attr_ref, dh_ref,
-                   t_ref, u_ref, v_ref, tri_ref, attr_out_ref,
-                   *, T: int, T_pad: int, pair: bool = False):
+                   attr_ref, dh_ref, *refs,
+                   T: int, T_pad: int, pair: bool = False, s2: int = 0):
     """Iterate this block's live chunks (front-to-back) with a while loop
     of dynamic trip count -- culled chunks genuinely cost nothing, and the
     walk stops early once every lane's current bound is nearer than the next
     chunk. order/minds/count arrive as per-block (1, 1, n_chunks) SMEM
     windows (rank-3: leading dims may be blocked freely); box_ref holds
-    [union-box lo(3), hi(3), shared origin ro(3)] scalars in SMEM."""
+    [union-box lo(3), hi(3), shared origin ro(3)] scalars in SMEM.
+
+    s2 > 0 (RPT_ORDER2): order/minds/count are SUPERCHUNK-level (windows
+    sized C/s2) and a per-chunk bitmask arrives as the first extra ref; the
+    cursor walks super-ordered chunk POSITIONS with the large tier's scalar
+    skip-advance (see _walk_scaffold / _order2_s)."""
+    if s2:
+        bits_ref, t_ref, u_ref, v_ref, tri_ref, attr_out_ref = refs
+    else:
+        t_ref, u_ref, v_ref, tri_ref, attr_out_ref = refs
     dh = dh_ref[:]  # (3, NB)
     nb = dh.shape[1]
     n_live = count_ref[0, 0, 0]
+    if s2:
+        C_total = T_pad // TC
+        _, end, chunk_at, advance = _walk_scaffold(order_ref, count_ref,
+                                                   bits_ref, C_total, s2)
 
     # Per-lane search bound: slab far-distance vs the union box of all chunk
     # spheres (0 for rays that miss it -> their lanes never extend the walk).
@@ -323,6 +431,11 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
         # min(best_t, bound) -- and chunks at floor 0 must not keep a block
         # alive once every lane's bound is 0.
         j, mb = state[0], state[1]
+        if s2:
+            # j is a super-ordered chunk POSITION; the floor is its super's
+            # (clamped: j == end when the walk is exhausted).
+            sid = order_ref[0, 0, jnp.minimum(j // s2, minds_ref.shape[2] - 1)]
+            return (j < end) & (minds_ref[0, 0, sid] < mb)
         return (j < n_live) & (minds_ref[0, 0, order_ref[0, 0, j]] < mb)
 
     def chunk_uvdist(k, live):
@@ -357,12 +470,25 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
 
     def body(state):
         j, mb, best_t, best_u, best_v, best_tri, best_attr = state
-        k0 = order_ref[0, 0, j]
+        if s2:
+            k0 = chunk_at(j)
+            j1 = advance(j + 1)  # next live position (or end)
+            j_next = advance(j1 + 1) if pair else j1
+        else:
+            k0 = order_ref[0, 0, j]
+            j_next = j + (2 if pair else 1)
         if pair:
             # Two live chunks per iteration (see _pair_mode). Odd tail: k1
-            # duplicates k0 with live=False, masking its candidates to INF.
-            live1 = (j + 1) < n_live
-            k1 = order_ref[0, 0, jnp.minimum(j + 1, n_live - 1)]
+            # duplicates a live chunk with live=False, masking its
+            # candidates to INF.
+            if s2:
+                live1 = j1 < end
+                k1 = jnp.minimum(
+                    chunk_at(jnp.minimum(j1, jnp.maximum(end - 1, 0))),
+                    C_total - 1)  # clamped in-bounds consts read when dead
+            else:
+                live1 = (j + 1) < n_live
+                k1 = order_ref[0, 0, jnp.minimum(j + 1, n_live - 1)]
             u0, v0, d0 = chunk_uvdist(k0, True)
             u1, v1, d1 = chunk_uvdist(k1, live1)
             u = jnp.concatenate([u0, u1], axis=0)
@@ -403,7 +529,7 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
         )  # (15, NB)
         new_t = jnp.where(better, dmin, best_t)
         return (
-            j + (2 if pair else 1),
+            j_next,
             jnp.max(jnp.minimum(new_t, bound_vec)),
             new_t,
             jnp.where(better, umin, best_u),
@@ -413,7 +539,7 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
         )
 
     init = (
-        jnp.int32(0),
+        advance(jnp.int32(0)) if s2 else jnp.int32(0),
         # Start from the block's true bound (not INF): blocks whose every
         # lane misses the union box (bound 0) run ZERO chunk iterations.
         jnp.max(bound_vec),
@@ -453,27 +579,37 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False,
         [chunk_interleave(consts[:3 * T_pad], T_pad, 3, TC), consts[3 * T_pad:]],
         axis=0)
     attrs = split_bf16(attrs)  # (T_pad, 30) [hi | lo] for exact DEFAULT dots
-    order, minds, counts = live_chunk_lists(spheres, dh_p, ro_p)
+    s2 = _order2_s()
+    if s2:
+        order, minds, counts, bits = live_chunk_lists2(spheres, dh_p, ro_p,
+                                                       s=s2)
+    else:
+        order, minds, counts = live_chunk_lists(spheres, dh_p, ro_p)
     lo = jnp.min(spheres[:, :3] - spheres[:, 3:4], axis=0)
     hi = jnp.max(spheres[:, :3] + spheres[:, 3:4], axis=0)
     box = jnp.concatenate([lo, hi, ro])[None, :]  # (1, 9) scalars
 
     kernel = functools.partial(_shared_kernel, T=T_pad, T_pad=T_pad,
-                               pair=_pair_mode())
+                               pair=_pair_mode(), s2=s2)
     t_rows = 2 if debug_iters else 1
     out_vec = pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
+    smem_win = lambda w: pl.BlockSpec((1, 1, w), lambda i: (i, 0, 0),  # noqa: E731
+                                      memory_space=pltpu.SMEM)
+    list_specs = [smem_win(order.shape[2]), smem_win(minds.shape[2]),
+                  smem_win(1)]
+    list_args = [order, minds, counts]
+    if s2:
+        list_specs.append(smem_win(bits.shape[2]))
+        list_args.append(bits)
     bt, bu, bv, btri, battr = pl.pallas_call(
         kernel,
         grid=(n_pad // NB,),
-        in_specs=[
-            pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        in_specs=list_specs[:3] + [
             pl.BlockSpec((1, 9), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((consts.shape[0], 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T_pad, 2 * N_ATTR), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        ] + list_specs[3:],
         out_specs=(pl.BlockSpec((t_rows, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
                    out_vec, out_vec, out_vec,
                    pl.BlockSpec((N_ATTR, NB), lambda i: (0, i), memory_space=pltpu.VMEM)),
@@ -485,7 +621,7 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False,
             jax.ShapeDtypeStruct((N_ATTR, n_pad), jnp.float32),
         ),
         interpret=interpret,
-    )(order, minds, counts, box, consts, attrs, dh_p)
+    )(*list_args[:3], box, consts, attrs, dh_p, *list_args[3:])
     if debug_iters:
         return bt[0, :n], bu[0, :n], bv[0, :n], btri[0, :n], battr[:, :n], bt[1, ::NB]
     return bt[0, :n], bu[0, :n], bv[0, :n], btri[0, :n], battr[:, :n]
@@ -528,12 +664,20 @@ def _general_lane_bound(tmax_lanes, r10_p, lo, hi):
 
 
 def _general_kernel(order_ref, minds_ref, count_ref, box_ref, cols_ref,
-                    r10_ref, tmax_ref, t_ref, *, T: int, T_pad: int,
-                    pair: bool = False):
+                    r10_ref, tmax_ref, *refs, T: int, T_pad: int,
+                    pair: bool = False, s2: int = 0):
+    if s2:
+        bits_ref, t_ref = refs
+    else:
+        (t_ref,) = refs
     TC = TC_GEN
     r10 = r10_ref[:]  # (10, NB)
     nb = r10.shape[1]
     n_live = count_ref[0, 0, 0]
+    if s2:
+        C_total = T_pad // TC
+        _, end, chunk_at, advance = _walk_scaffold(order_ref, count_ref,
+                                                   bits_ref, C_total, s2)
     tmax = tmax_ref[0, :]
     # Occlusion-retirement threshold (see general_min_t): shadow callers only
     # consume `occ_t >= tmax`, so a lane holding ANY hit strictly below tcut
@@ -566,6 +710,9 @@ def _general_kernel(order_ref, minds_ref, count_ref, box_ref, cols_ref,
         # lanes all carry tmax == 0 (masked-irrelevant): chunk floors of 0
         # must not keep the walk alive.
         j, mb = state[0], state[1]
+        if s2:
+            sid = order_ref[0, 0, jnp.minimum(j // s2, minds_ref.shape[2] - 1)]
+            return (j < end) & (minds_ref[0, 0, sid] < mb)
         return (j < n_live) & (minds_ref[0, 0, order_ref[0, 0, j]] < mb)
 
     def chunk_min(k, live):
@@ -599,25 +746,38 @@ def _general_kernel(order_ref, minds_ref, count_ref, box_ref, cols_ref,
 
     def body(state):
         j, mb, best_t = state
-        k0 = order_ref[0, 0, j]
+        if s2:
+            k0 = chunk_at(j)
+            j1 = advance(j + 1)
+            j_next = advance(j1 + 1) if pair else j1
+        else:
+            k0 = order_ref[0, 0, j]
+            j_next = j + (2 if pair else 1)
         new_t = jnp.minimum(best_t, chunk_min(k0, True))
         if pair:
             # Two live chunks per iteration (see _pair_mode); the odd tail
-            # duplicates k0 with live=False (all-INF candidates).
-            live1 = (j + 1) < n_live
-            k1 = order_ref[0, 0, jnp.minimum(j + 1, n_live - 1)]
+            # duplicates a live chunk with live=False (all-INF candidates).
+            if s2:
+                live1 = j1 < end
+                k1 = jnp.minimum(
+                    chunk_at(jnp.minimum(j1, jnp.maximum(end - 1, 0))),
+                    C_total - 1)  # clamped in-bounds cols read when dead
+            else:
+                live1 = (j + 1) < n_live
+                k1 = order_ref[0, 0, jnp.minimum(j + 1, n_live - 1)]
             new_t = jnp.minimum(new_t, chunk_min(k1, live1))
         # Search bounded at min(tmax, box exit): occluders beyond either are
         # irrelevant / impossible, so chunks past the bound stop the walk.
         # Lanes already provably occluded (hit < tcut) contribute nothing.
         live_bound = jnp.where(new_t < tcut, 0.0, jnp.minimum(new_t, tmax_eff))
-        return j + (2 if pair else 1), jnp.max(live_bound), new_t
+        return j_next, jnp.max(live_bound), new_t
 
     # (A VMEM-loaded VECTOR as loop carry init crashes Mosaic; a scalar
     # reduce of one is fine.) Starting mb at the block's max bound instead of
     # INF means blocks whose lanes are all masked-irrelevant (tmax 0) run
     # ZERO chunk iterations.
-    init = (jnp.int32(0), jnp.max(tmax_eff), jnp.full((nb,), INF, jnp.float32))
+    init = (advance(jnp.int32(0)) if s2 else jnp.int32(0),
+            jnp.max(tmax_eff), jnp.full((nb,), INF, jnp.float32))
     jf, _, bt = jax.lax.while_loop(cond, body, init)
     t_ref[0, :] = jnp.minimum(bt, tmax)
     if len(t_ref.shape) > 1 and t_ref.shape[0] > 1:  # debug: iteration count
@@ -651,30 +811,40 @@ def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, valid=None,
     lo = jnp.min(spheres[:, :3] - spheres[:, 3:4], axis=0)
     hi = jnp.max(spheres[:, :3] + spheres[:, 3:4], axis=0)
     box = jnp.concatenate([lo, hi])[None, :]  # (1, 6) scalars
-    order, minds, counts = live_chunk_lists(
-        spheres, r10_p[0:3], r10_p[6:9], valid=valid_p,
-        lane_bound=_general_lane_bound(tmax_p[0], r10_p, lo, hi))
+    s2 = _order2_s()
+    lane_bound = _general_lane_bound(tmax_p[0], r10_p, lo, hi)
+    if s2:
+        order, minds, counts, bits = live_chunk_lists2(
+            spheres, r10_p[0:3], r10_p[6:9], valid=valid_p,
+            lane_bound=lane_bound, s=s2)
+    else:
+        order, minds, counts = live_chunk_lists(
+            spheres, r10_p[0:3], r10_p[6:9], valid=valid_p,
+            lane_bound=lane_bound)
 
     kernel = functools.partial(_general_kernel, T=T_pad, T_pad=T_pad,
-                               pair=_pair_mode())
+                               pair=_pair_mode(), s2=s2)
+    smem_win = lambda w: pl.BlockSpec((1, 1, w), lambda i: (i, 0, 0),  # noqa: E731
+                                      memory_space=pltpu.SMEM)
     bt = pl.pallas_call(
         kernel,
         grid=(n_pad // NB,),
         in_specs=[
-            pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            smem_win(order.shape[2]),
+            smem_win(minds.shape[2]),
+            smem_win(1),
             pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((cols_grouped.shape[0], 10), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((10, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        ] + ([smem_win(bits.shape[2])] if s2 else []),
         out_specs=pl.BlockSpec((2 if debug_iters else 1, NB),
                                lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2 if debug_iters else 1, n_pad),
                                        jnp.float32),
         interpret=interpret,
-    )(order, minds, counts, box, cols_grouped, r10_p, tmax_p)
+    )(order, minds, counts, box, cols_grouped, r10_p, tmax_p,
+      *((bits,) if s2 else ()))
     if debug_iters:
         return bt[0, :n], bt[1, ::NB]
     return bt[0, :n]

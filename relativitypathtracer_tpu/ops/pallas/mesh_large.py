@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mesh_kernels import (
     INF, NB, TC, N_ATTR, _mt_mask, _round_up, _safe_inv, _sub_cone_cull,
-    bucket_order, split_bf16,
+    _walk_scaffold, bucket_order, pack_bits, split_bf16,
+    super_spheres as _super_spheres_of,
 )
 
 # Diagnostic switches (set before first trace): DEBUG_SYNC forces
@@ -100,38 +101,11 @@ def pack_attr_records(attrs_split, T_pad):
     return a.reshape(C * REC_AT, 128)
 
 
-def pack_bits(overlap):
-    """(B, C) bool -> (B, ceil(C/32)) int32 bitmask (bit k of word w = chunk
-    w*32+k). Distinct powers of two: the int32 sum is an exact OR (bit 31
-    lands on the sign bit, which the kernel's arithmetic-shift read handles)."""
-    B, C = overlap.shape
-    W32 = -(-C // 32)
-    pad = W32 * 32 - C
-    ov = jnp.pad(overlap, ((0, 0), (0, pad)))
-    weights = (jnp.int32(1) << jnp.arange(32, dtype=jnp.int32))  # [.., -2^31]
-    return jnp.sum(jnp.where(ov.reshape(B, W32, 32), weights[None, None, :], 0),
-                   axis=2).astype(jnp.int32)
-
-
 def super_spheres(spheres, s=S_SUPER):
-    """Bounding sphere per superchunk of `s` consecutive chunk spheres.
-    Padding chunks EDGE-REPLICATE the last real sphere: a far-away pad
-    sphere would blow the last super's radius to INF (corner distances
-    overflow f32), making its cull mind INF - INF = NaN -- which poisons
-    the whole block's bucket floors and stops every walk at p=0. Duplicates
-    cannot extend the union, and pad positions stay dead via the chunk
-    bitmask anyway."""
-    C = spheres.shape[0]
-    C_s = -(-C // s)
-    pad = C_s * s - C
-    sp = jnp.concatenate([spheres, jnp.broadcast_to(spheres[-1], (pad, 4))],
-                         axis=0)
-    c, r = sp[:, :3].reshape(C_s, s, 3), sp[:, 3].reshape(C_s, s, 1)
-    lo = jnp.min(c - r, axis=1)
-    hi = jnp.max(c + r, axis=1)
-    ctr = (lo + hi) / 2.0
-    rad = jnp.sqrt(jnp.sum(((hi - lo) / 2.0) ** 2, axis=1))
-    return jnp.concatenate([ctr, rad[:, None]], axis=1)
+    """Superchunk bounding spheres (moved to mesh_kernels.super_spheres for
+    the two-level VMEM tier, RPT_ORDER2; kept here with the large tier's
+    default granularity)."""
+    return _super_spheres_of(spheres, s)
 
 
 def large_live_lists(spheres, sspheres, dh_p, o_p, valid=None,
@@ -152,26 +126,6 @@ def large_live_lists(spheres, sspheres, dh_p, o_p, valid=None,
     # chunks per block, which the walk repays at ~1.5us/chunk.
     _, over_c = _sub_cone_cull(spheres, dh_p, o_p, valid, lane_bound)
     return order, minds, counts, pack_bits(over_c)[:, None, :]
-
-
-def _walk_scaffold(order_ref, count_ref, bits_ref, C, S):
-    """Shared cursor machinery: bit test, position->chunk, skip-advance."""
-    n_live = count_ref[0, 0, 0]
-    end = n_live * S
-
-    def chunk_at(p):
-        return order_ref[0, 0, p // S] * S + (p % S)
-
-    def live(p):
-        k = chunk_at(p)
-        return ((bits_ref[0, 0, k >> 5] >> (k & 31)) & 1) != 0
-
-    def advance(p):
-        # next live position >= p (dead chunks cost a few scalar cycles)
-        return jax.lax.while_loop(
-            lambda q: (q < end) & jnp.logical_not(live(q)), lambda q: q + 1, p)
-
-    return n_live, end, chunk_at, advance
 
 
 def _shared_large_kernel(order_ref, minds_ref, count_ref, bits_ref, box_ref,

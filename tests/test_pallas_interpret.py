@@ -297,6 +297,81 @@ def test_pair_mode_chunk_economy(monkeypatch):
     assert np.all(paired >= single), "pairing cannot process FEWER chunks"
 
 
+@pytest.mark.parametrize("s2,pair", [(2, False), (8, False), (32, False),
+                                     (8, True)])
+def test_order2_matches_jnp(s2, pair, monkeypatch, reference_root):
+    """RPT_ORDER2=S (superchunk-level front-to-back ordering + per-chunk
+    overlap bitmask + scalar skip-advance, mesh_kernels._order2_s) only
+    changes walk ORDER and early-termination granularity, never results:
+    kernel-level equality on random soup for BOTH kernels and a full
+    shadows.txt frame. s2=32 with a 10-chunk soup makes a single super whose
+    tail positions are pure bitmask padding; (8, True) composes with
+    RPT_PAIR (dead-slot skip between the pair halves + the clamped dead
+    tail)."""
+    monkeypatch.setenv("RPT_ORDER2", str(s2))
+    if pair:
+        monkeypatch.setenv("RPT_PAIR", "1")
+    from relativitypathtracer_tpu.ops.pallas import mesh_kernels
+
+    assert mesh_kernels._order2_s() == s2  # knob actually engaged
+    clear_kernel_caches()
+    try:
+        rng = np.random.default_rng(7)
+        mesh = _soup_mesh(rng, 300)  # T_pad 320 -> 10 chunks
+        m4 = np.eye(4, dtype=np.float32)
+        o3 = np.array([0.0, 0.0, -6.0], np.float32)
+        d = rng.normal(size=(3, 2048)).astype(np.float32)
+        d[2] = np.abs(d[2]) + 0.5
+        d /= np.linalg.norm(d, axis=0)
+        t0, n0, _uv0, v0 = mesh_intersect.mesh_intersect_shared(
+            mesh, (0, 300), m4, m4, o3, d, use_pallas=False)
+        t1, n1, _uv1, v1 = mesh_intersect.mesh_intersect_shared(
+            mesh, (0, 300), m4, m4, o3, d, use_pallas="interpret")
+        assert np.array_equal(np.asarray(v0), np.asarray(v1))
+        hit = np.asarray(v0)
+        assert hit.any(), "soup aimed-at rays produced zero hits (vacuous test)"
+        assert np.allclose(np.asarray(t0)[hit], np.asarray(t1)[hit],
+                           rtol=1e-5, atol=1e-6)
+        assert np.allclose(np.asarray(n0)[:, hit], np.asarray(n1)[:, hit],
+                           rtol=1e-4, atol=1e-4)
+
+        n = 1536
+        o = rng.uniform(-4, 4, (3, n)).astype(np.float32)
+        dg = rng.normal(size=(3, n)).astype(np.float32)
+        dg /= np.linalg.norm(dg, axis=0)
+        tmax = rng.uniform(0.5, 8.0, (n,)).astype(np.float32)
+        tmax[: n // 8] = 0.0  # masked-irrelevant lanes
+        t_true = np.asarray(mesh_intersect.mesh_min_t_general(
+            mesh, (0, 300), m4, m4, o, dg, use_pallas=False))
+        t_k = np.asarray(mesh_intersect.mesh_min_t_general(
+            mesh, (0, 300), m4, m4, o, dg, use_pallas="interpret", tmax=tmax))
+        inside = t_true < tmax
+        assert inside.any(), "no hit landed inside its bound (vacuous test)"
+        assert np.allclose(t_k[inside], t_true[inside], rtol=1e-5, atol=1e-6)
+        assert np.all(t_k[~inside] >= tmax[~inside] * (1 - 1e-6))
+
+        if s2 == 8 and not pair:  # one full frame covers the render plumbing
+            host = load_scene_file(str(reference_root / "Scenes" / "shadows.txt"))
+            scene, meta = build_scene(host)
+            ref = _render(scene, meta, False)
+            got = _render(scene, meta, "interpret")
+            diff = np.abs(ref - got)
+            assert diff.mean() < 1e-4
+            assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.002
+    finally:
+        clear_kernel_caches()
+
+
+def test_order2_rejects_bad_granularity(monkeypatch):
+    """S must divide 32 (bitmask-word tail-padding soundness): anything else
+    fails LOUDLY at trace time, not with silently-corrupt live lists."""
+    monkeypatch.setenv("RPT_ORDER2", "5")
+    from relativitypathtracer_tpu.ops.pallas import mesh_kernels
+
+    with pytest.raises(ValueError, match="RPT_ORDER2"):
+        mesh_kernels._order2_s()
+
+
 SPHERES_SCENE = "\n".join(
     ["Os\n p%d,%d,%d,0,0,0,0,1,1,1\n c0.%d,0.5,0.9" % (x, y, 6 + 2 * k, k + 1)
      for k, (x, y) in enumerate([(-4, 0), (-2, 1), (0, -1), (2, 1), (4, 0),

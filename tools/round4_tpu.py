@@ -54,6 +54,14 @@ STEPS = [
      540, {"RPT_PAIR": "1"}),
     ("cubes_abound", ["python", "tools/frametime.py", "cubes", "1024x768", "3"],
      540, {"RPT_ABOUND": "1"}),
+    # two-level live lists A/B (superchunk ordering + chunk bitmask: kills
+    # the O(C^2) per-block sort; exactness pinned by test_order2_matches_jnp)
+    ("bunny_order2", ["python", "tools/frametime.py", "bunny", "1024x768", "3"],
+     540, {"RPT_ORDER2": "8"}),
+    ("shadows_order2", ["python", "tools/frametime.py", "shadows", "1024x768", "3"],
+     540, {"RPT_ORDER2": "8"}),
+    ("bunny_order2_pair", ["python", "tools/frametime.py", "bunny", "1024x768", "3"],
+     540, {"RPT_ORDER2": "8", "RPT_PAIR": "1"}),
     # folded-MSAA sublinearity (VERDICT item 6): msaa=2 and 4 vs the msaa=1
     # bunny row above; target msaa=4 <= ~2.5x msaa=1.
     ("bunny_msaa2", ["python", "tools/frametime.py", "bunny", "1024x768", "3", "2"],
