@@ -469,12 +469,15 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
         return u, v, jnp.where(ok, dist, INF)
 
     def body(state):
-        j, mb, best_t, best_u, best_v, best_tri, best_attr = state
         if s2:
+            # trailing cnt: chunks PROCESSED (the position cursor j includes
+            # skipped dead slots, so it is not a work count like order1's j)
+            j, mb, best_t, best_u, best_v, best_tri, best_attr, cnt = state
             k0 = chunk_at(j)
             j1 = advance(j + 1)  # next live position (or end)
             j_next = advance(j1 + 1) if pair else j1
         else:
+            j, mb, best_t, best_u, best_v, best_tri, best_attr = state
             k0 = order_ref[0, 0, j]
             j_next = j + (2 if pair else 1)
         if pair:
@@ -528,7 +531,7 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
                                   precision=jax.lax.Precision.DEFAULT)
         )  # (15, NB)
         new_t = jnp.where(better, dmin, best_t)
-        return (
+        out = (
             j_next,
             jnp.max(jnp.minimum(new_t, bound_vec)),
             new_t,
@@ -537,6 +540,7 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
             jnp.where(better, tri_id, best_tri),
             jnp.where(better[None, :], attr_sel, best_attr),
         )
+        return out + (cnt + (2 if pair else 1),) if s2 else out
 
     init = (
         advance(jnp.int32(0)) if s2 else jnp.int32(0),
@@ -548,11 +552,13 @@ def _shared_kernel(order_ref, minds_ref, count_ref, box_ref, consts_ref,
         jnp.zeros((nb,), jnp.float32),
         jnp.full((nb,), -1, jnp.int32),
         jnp.zeros((N_ATTR, nb), jnp.float32),
-    )
-    jf, _, bt, bu, bv, btri, battr = jax.lax.while_loop(cond, body, init)
+    ) + ((jnp.int32(0),) if s2 else ())
+    st = jax.lax.while_loop(cond, body, init)
+    jf, _, bt, bu, bv, btri, battr = st[:7]
     t_ref[0, :] = bt
-    if t_ref.shape[0] > 1:  # debug: iteration count
-        t_ref[1, :] = jnp.full((dh.shape[1],), jf, jnp.float32)
+    if t_ref.shape[0] > 1:  # debug: chunks processed (both modes)
+        t_ref[1, :] = jnp.full((dh.shape[1],),
+                               st[7] if s2 else jf, jnp.float32)
     u_ref[0, :] = bu
     v_ref[0, :] = bv
     tri_ref[0, :] = btri
@@ -745,12 +751,13 @@ def _general_kernel(order_ref, minds_ref, count_ref, box_ref, cols_ref,
         return jnp.min(jnp.where(ok, dist, INF), axis=0)
 
     def body(state):
-        j, mb, best_t = state
         if s2:
+            j, mb, best_t, cnt = state  # trailing cnt: chunks processed
             k0 = chunk_at(j)
             j1 = advance(j + 1)
             j_next = advance(j1 + 1) if pair else j1
         else:
+            j, mb, best_t = state
             k0 = order_ref[0, 0, j]
             j_next = j + (2 if pair else 1)
         new_t = jnp.minimum(best_t, chunk_min(k0, True))
@@ -770,18 +777,21 @@ def _general_kernel(order_ref, minds_ref, count_ref, box_ref, cols_ref,
         # irrelevant / impossible, so chunks past the bound stop the walk.
         # Lanes already provably occluded (hit < tcut) contribute nothing.
         live_bound = jnp.where(new_t < tcut, 0.0, jnp.minimum(new_t, tmax_eff))
-        return j_next, jnp.max(live_bound), new_t
+        out = (j_next, jnp.max(live_bound), new_t)
+        return out + (cnt + (2 if pair else 1),) if s2 else out
 
     # (A VMEM-loaded VECTOR as loop carry init crashes Mosaic; a scalar
     # reduce of one is fine.) Starting mb at the block's max bound instead of
     # INF means blocks whose lanes are all masked-irrelevant (tmax 0) run
     # ZERO chunk iterations.
     init = (advance(jnp.int32(0)) if s2 else jnp.int32(0),
-            jnp.max(tmax_eff), jnp.full((nb,), INF, jnp.float32))
-    jf, _, bt = jax.lax.while_loop(cond, body, init)
+            jnp.max(tmax_eff), jnp.full((nb,), INF, jnp.float32)
+            ) + ((jnp.int32(0),) if s2 else ())
+    st = jax.lax.while_loop(cond, body, init)
+    jf, _, bt = st[:3]
     t_ref[0, :] = jnp.minimum(bt, tmax)
-    if len(t_ref.shape) > 1 and t_ref.shape[0] > 1:  # debug: iteration count
-        t_ref[1, :] = jnp.full((nb,), jf, jnp.float32)
+    if len(t_ref.shape) > 1 and t_ref.shape[0] > 1:  # debug: chunks processed
+        t_ref[1, :] = jnp.full((nb,), st[3] if s2 else jf, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "debug_iters"))
