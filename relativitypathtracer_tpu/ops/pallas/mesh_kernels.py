@@ -282,12 +282,26 @@ def live_chunk_lists2(spheres, dh_p, o_p, valid=None, lane_bound=None, s=8):
     inversion) runs on superchunks of `s` consecutive chunks; per-chunk
     tightness is recovered by a (B, C) overlap bitmask the kernels consult
     with cheap scalar reads (mesh_large's proven structure, minus the DMA).
+
+    Super-level mind/overlap are REDUCED from the chunk-level cull (min /
+    any over each group of s) rather than culled against super bounding
+    spheres: one cull pass instead of two, and strictly tighter -- the min
+    of child-chunk minds >= the super-sphere cull distance (still a sound
+    early-termination floor for every child), and a super with zero
+    overlapping children drops out entirely even when its union sphere
+    grazes the cone. Group padding reduces as INF / False (dead).
     Returns (order (B, 1, C_s), minds (B, 1, C_s), counts (B, 1, 1),
     bits (B, 1, ceil(C/32)))."""
-    ssph = super_spheres(spheres, s)
+    mind_c, over_c = _sub_cone_cull(spheres, dh_p, o_p, valid, lane_bound)
+    B, C = mind_c.shape
+    C_s = -(-C // s)
+    pad = C_s * s - C
+    # mind_c is already INF where over_c is False (see _sub_cone_cull).
+    mind_g = jnp.pad(mind_c, ((0, 0), (0, pad)), constant_values=INF)
+    over_g = jnp.pad(over_c, ((0, 0), (0, pad)))
     order, minds, counts = bucket_order(
-        *_sub_cone_cull(ssph, dh_p, o_p, valid, lane_bound))
-    _, over_c = _sub_cone_cull(spheres, dh_p, o_p, valid, lane_bound)
+        jnp.min(mind_g.reshape(B, C_s, s), axis=2),
+        jnp.any(over_g.reshape(B, C_s, s), axis=2))
     return order, minds, counts, pack_bits(over_c)[:, None, :]
 
 
