@@ -76,8 +76,8 @@ class MeshStatic(NamedTuple):
     spheres: jnp.ndarray  # (n_chunks, 4) at TC granularity (shared kernel)
     gen_cols: jnp.ndarray  # (4*T_pad, 10)
     gen_spheres: jnp.ndarray  # (T_pad/TC_GEN, 4) general-kernel granularity
-    # Large-mesh tier (ops.pallas.mesh_large), None for small meshes:
-    sspheres: jnp.ndarray | None = None  # (C_s, 4) superchunk spheres
+    # Large-mesh tier (ops.pallas.mesh_large), None for small meshes
+    # (gen_rec is not None doubles as the tier-engagement marker):
     gen_rec: jnp.ndarray | None = None  # (C*REC_GEN, 128) lane-major DMA records
     attrs_split: jnp.ndarray | None = None  # (C*REC_AT, 128) bf16-split records
 
@@ -385,14 +385,14 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
         gen_cols_k = general_ray_constants(mesh, rng_pair, perm_arr)[0]
         extra = {}
         if T_pad_k > _large_t():
-            # Large-mesh tier: superchunk ordering spheres, per-chunk DMA
-            # records and the bf16-split attr pool (ops.pallas.mesh_large).
+            # Large-mesh tier: per-chunk DMA records and the bf16-split attr
+            # pool (ops.pallas.mesh_large; super floors derive from the
+            # chunk cull at trace time, no precomputed super spheres).
             from ..ops.pallas.mesh_kernels import split_bf16
             from ..ops.pallas.mesh_large import (
-                pack_attr_records, pack_general_records, super_spheres)
+                pack_attr_records, pack_general_records)
 
             extra = dict(
-                sspheres=super_spheres(spheres_k),
                 gen_rec=pack_general_records(gen_cols_k, T_pad_k),
                 attrs_split=pack_attr_records(split_bf16(attrs_k), T_pad_k),
             )
@@ -410,7 +410,7 @@ def build_scene(host) -> tuple[Scene, SceneMeta]:
     # mesh keep the per-object kernel loop (the batch pools are VMEM-bound).
     mesh_batch = None
     chunk_counts = ()
-    if len(mesh_static) > 1 and all(ms.sspheres is None for ms in mesh_static):
+    if len(mesh_static) > 1 and all(ms.gen_rec is None for ms in mesh_static):
         from ..ops.pallas.mesh_kernels import TC
 
         tpads = [ms.attrs.shape[0] for ms in mesh_static]

@@ -265,16 +265,14 @@ def mesh_intersect_shared(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
             from .pallas.mesh_kernels import split_bf16
             from .pallas.mesh_large import (
                 large_shared_nearest_hit, pack_attr_records,
-                pack_shared_records, super_spheres)
+                pack_shared_records)
 
-            ssph = (static.sspheres if static is not None
-                    and static.sspheres is not None else super_spheres(spheres))
             attrs_rec = (static.attrs_split if static is not None
                          and static.attrs_split is not None
                          else pack_attr_records(split_bf16(attrs), T_pad))
             consts_rec = pack_shared_records(consts, T_pad)
             out = large_shared_nearest_hit(
-                consts_rec, attrs_rec, spheres, ssph, dh, ro, T=T,
+                consts_rec, attrs_rec, spheres, dh, ro, T=T,
                 interpret=interpret)
         else:
             out = shared_nearest_hit(
@@ -563,7 +561,7 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
         if _resolve_large(T_pad):
             from .pallas.mesh_kernels import TC
             from .pallas.mesh_large import (
-                large_general_min_t, pack_general_records, super_spheres)
+                large_general_min_t, pack_general_records)
 
             # Records are TC-granularity: use TC chunk spheres (NOT the
             # TC_GEN `spheres` above -- with TC_GEN != TC the bitmask and
@@ -571,13 +569,10 @@ def mesh_min_t_general(mesh, tri_range, m4, inv_m, o3, d3, *, tri_chunk=512,
             sph_tc = (static.spheres if static is not None
                       else spheres if TC_GEN == TC
                       else chunk_spheres(A, B, C, T, T_pad, tc=TC))
-            ssph = (static.sspheres if static is not None
-                    and static.sspheres is not None
-                    else super_spheres(sph_tc))
             cols_rec = (static.gen_rec if static is not None
                         and static.gen_rec is not None
                         else pack_general_records(cols, T_pad))
-            bt = large_general_min_t(cols_rec, sph_tc, ssph, r10, tmax_obj,
+            bt = large_general_min_t(cols_rec, sph_tc, r10, tmax_obj,
                                      valid=valid, tcut_obj=tcut_obj, T=T,
                                      interpret=interpret)
             dbg_iters = None

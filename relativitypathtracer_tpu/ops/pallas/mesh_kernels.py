@@ -208,27 +208,6 @@ def pack_bits(overlap):
                    axis=2).astype(jnp.int32)
 
 
-def super_spheres(spheres, s):
-    """Bounding sphere per superchunk of `s` consecutive chunk spheres.
-    Padding chunks EDGE-REPLICATE the last real sphere: a far-away pad
-    sphere would blow the last super's radius to INF (corner distances
-    overflow f32), making its cull mind INF - INF = NaN -- which poisons
-    the whole block's bucket floors and stops every walk at p=0. Duplicates
-    cannot extend the union, and pad positions stay dead via the chunk
-    bitmask anyway."""
-    C = spheres.shape[0]
-    C_s = -(-C // s)
-    pad = C_s * s - C
-    sp = jnp.concatenate([spheres, jnp.broadcast_to(spheres[-1], (pad, 4))],
-                         axis=0)
-    c, r = sp[:, :3].reshape(C_s, s, 3), sp[:, 3].reshape(C_s, s, 1)
-    lo = jnp.min(c - r, axis=1)
-    hi = jnp.max(c + r, axis=1)
-    ctr = (lo + hi) / 2.0
-    rad = jnp.sqrt(jnp.sum(((hi - lo) / 2.0) ** 2, axis=1))
-    return jnp.concatenate([ctr, rad[:, None]], axis=1)
-
-
 def _walk_scaffold(order_ref, count_ref, bits_ref, C, S):
     """Shared cursor machinery: bit test, position->chunk, skip-advance."""
     n_live = count_ref[0, 0, 0]

@@ -41,16 +41,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mesh_kernels import (
-    INF, NB, TC, N_ATTR, _mt_mask, _round_up, _safe_inv, _sub_cone_cull,
-    _walk_scaffold, bucket_order, pack_bits, split_bf16,
-    super_spheres as _super_spheres_of,
+    INF, NB, TC, N_ATTR, _mt_mask, _round_up, _safe_inv,
+    _walk_scaffold, live_chunk_lists2, split_bf16,
 )
 
 # Diagnostic switches (set before first trace): DEBUG_SYNC forces
 # synchronous per-chunk DMA (no prefetch) to separate pipelining races from
 # logic bugs; DEBUG_NO_EARLYSTOP walks every live chunk, isolating the
-# bucket-floor early termination (this is how the NaN super-sphere floor bug
-# was found -- see super_spheres).
+# bucket-floor early termination (this is how the round-3 NaN super-sphere
+# floor bug was found; the super level now REDUCES the chunk cull, see
+# mesh_kernels.live_chunk_lists2, so that failure mode is gone by design).
 DEBUG_SYNC = False
 DEBUG_NO_EARLYSTOP = False
 S_SUPER = 32     # chunks per superchunk (ordering granularity)
@@ -101,31 +101,21 @@ def pack_attr_records(attrs_split, T_pad):
     return a.reshape(C * REC_AT, 128)
 
 
-def super_spheres(spheres, s=S_SUPER):
-    """Superchunk bounding spheres (moved to mesh_kernels.super_spheres for
-    the two-level VMEM tier, RPT_ORDER2; kept here with the large tier's
-    default granularity)."""
-    return _super_spheres_of(spheres, s)
-
-
-def large_live_lists(spheres, sspheres, dh_p, o_p, valid=None,
-                     lane_bound=None):
+def large_live_lists(spheres, dh_p, o_p, valid=None, lane_bound=None):
     """Super-level front-to-back order + chunk-level live bits.
 
-    Ordering (and its O(C_s^2) inversion) runs on superchunk spheres with
-    the 256-lane sub-cones; the per-chunk tightness that the super tier
-    gives up is recovered by a (B, C) block-cone overlap bitmask the kernel
-    consults with cheap scalar reads. lane_bound (optional (n_pad,) f32) is
-    each lane's maximum useful ray parameter -- segment culling at both
-    levels, see mesh_kernels.live_chunk_lists.
+    Ordering (and its O(C_s^2) inversion) runs at superchunk granularity;
+    per-chunk tightness comes from a (B, C) block-cone overlap bitmask the
+    kernel consults with cheap scalar reads. Delegates to the shared
+    two-level builder (mesh_kernels.live_chunk_lists2): ONE chunk-level
+    cull pass whose min/any group reductions give the super floors --
+    tighter than culling separate superchunk bounding spheres, and
+    structurally immune to the round-3 pad-sphere NaN floors.
+    lane_bound (optional (n_pad,) f32) is each lane's maximum useful ray
+    parameter (segment culling, see mesh_kernels.live_chunk_lists).
     Returns (order, minds, counts, bits)."""
-    order, minds, counts = (lambda mo: bucket_order(*mo))(
-        _sub_cone_cull(sspheres, dh_p, o_p, valid, lane_bound))
-    # Chunk-level bits at sub-cone granularity too: 4x the cull flops of a
-    # block-cone test (arrays are (4B, C)) but substantially fewer live
-    # chunks per block, which the walk repays at ~1.5us/chunk.
-    _, over_c = _sub_cone_cull(spheres, dh_p, o_p, valid, lane_bound)
-    return order, minds, counts, pack_bits(over_c)[:, None, :]
+    return live_chunk_lists2(spheres, dh_p, o_p, valid, lane_bound,
+                             s=S_SUPER)
 
 
 def _shared_large_kernel(order_ref, minds_ref, count_ref, bits_ref, box_ref,
@@ -265,24 +255,24 @@ def _shared_large_kernel(order_ref, minds_ref, count_ref, bits_ref, box_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("T", "interpret"))
-def large_shared_nearest_hit(consts_rec, attrs_split, spheres, sspheres,
+def large_shared_nearest_hit(consts_rec, attrs_split, spheres,
                              dh, ro, T: int, interpret=False):
     """consts_rec: (C*REC_SH, 128) lane-major records (pack_shared_records);
     attrs_rec: (C*REC_AT, 128) lane-major bf16-split attr records
-    (pack_attr_records); spheres: (C, 4) chunk spheres; sspheres: (C_s, 4)
-    superchunk spheres; dh: (3, N) unit object-space dirs; ro: (3,).
+    (pack_attr_records); spheres: (C, 4) chunk spheres; dh: (3, N) unit
+    object-space dirs; ro: (3,).
     Returns (t, u, v, tri, attr (15, N))."""
     C = spheres.shape[0]
     n = dh.shape[1]
     n_pad = _round_up(n, NB)
     dh_p = jnp.pad(dh, ((0, 0), (0, n_pad - n)), constant_values=1.0)
     ro_p = jnp.broadcast_to(ro[:, None], (3, n_pad))
-    order, minds, counts, bits = large_live_lists(spheres, sspheres, dh_p, ro_p)
+    order, minds, counts, bits = large_live_lists(spheres, dh_p, ro_p)
     lo = jnp.min(spheres[:, :3] - spheres[:, 3:4], axis=0)
     hi = jnp.max(spheres[:, :3] + spheres[:, 3:4], axis=0)
     box = jnp.concatenate([lo, hi, ro])[None, :]
 
-    C_s = sspheres.shape[0]
+    C_s = order.shape[2]
     kernel = functools.partial(_shared_large_kernel, C=C, S=S_SUPER, T=T)
     out_vec = pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
     bt, bu, bv, btri, battr = pl.pallas_call(
@@ -403,7 +393,7 @@ def _general_large_kernel(order_ref, minds_ref, count_ref, bits_ref, box_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("T", "interpret"))
-def large_general_min_t(cols_rec, spheres, sspheres, r10, tmax_obj=None,
+def large_general_min_t(cols_rec, spheres, r10, tmax_obj=None,
                         valid=None, tcut_obj=None, T: int = 0,
                         interpret=False):
     """cols_rec: (C*REC_GEN, 128) lane-major records (pack_general_records);
@@ -425,10 +415,10 @@ def large_general_min_t(cols_rec, spheres, sspheres, r10, tmax_obj=None,
     from .mesh_kernels import _general_lane_bound
 
     order, minds, counts, bits = large_live_lists(
-        spheres, sspheres, r10_p[0:3], r10_p[6:9], valid=valid_p,
+        spheres, r10_p[0:3], r10_p[6:9], valid=valid_p,
         lane_bound=_general_lane_bound(tmax_p[0], r10_p, lo, hi))
 
-    C_s = sspheres.shape[0]
+    C_s = order.shape[2]
     kernel = functools.partial(_general_large_kernel, C=C, S=S_SUPER, T=T)
     bt = pl.pallas_call(
         kernel,

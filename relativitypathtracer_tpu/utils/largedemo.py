@@ -55,7 +55,7 @@ def large_parity_and_time(width: int = 1024, height: int = 768,
     from relativitypathtracer_tpu.utils.scene_blob import write_scene_blob
 
     scene, meta = load_large_scene(workdir=workdir)
-    assert scene.mesh_static[0].sspheres is not None, "large tier not engaged"
+    assert scene.mesh_static[0].gen_rec is not None, "large tier not engaged"
     state = FrameState.initial()
     render = build_render_fn(meta, width, height, meta.default_interval, 1)
     img = render(scene, state)

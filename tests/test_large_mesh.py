@@ -37,13 +37,13 @@ def test_large_path_matches_small(reference_root, force_large):
     state = FrameState.initial()
     W, H = 96, 64
     scene_l, meta_l = build_scene(host)
-    assert scene_l.mesh_static[0].sspheres is not None  # large tier engaged
+    assert scene_l.mesh_static[0].gen_rec is not None  # large tier engaged
     large = np.asarray(render_frame(scene_l, meta_l, state, W, H))
 
     mesh_intersect.LARGE_MODE = False
     build_render_fn.cache_clear()
     scene_s, meta_s = build_scene(host)
-    assert scene_s.mesh_static[0].sspheres is None
+    assert scene_s.mesh_static[0].gen_rec is None
     small = np.asarray(render_frame(scene_s, meta_s, state, W, H))
     np.testing.assert_allclose(large, small, atol=2e-5)
 
@@ -69,28 +69,50 @@ def test_large_path_boosted_state(reference_root, force_large):
     np.testing.assert_allclose(large, small, atol=2e-5)
 
 
-def test_super_spheres_padding_stays_finite():
-    """Regression: C not divisible by S_SUPER -- the last super's sphere
-    must stay finite (a far-away pad sphere overflowed its radius to INF,
-    turning that super's cull distance into NaN and poisoning the whole
-    block's bucket floors: every walk stopped at p=0 and ~5% of large-scene
-    pixels rendered the miss color)."""
+def test_large_live_lists_ragged_tail_floors():
+    """Regression guard for the round-3 NaN-floor failure mode: with C not
+    divisible by S_SUPER, every super floor the ordering publishes must be
+    finite and <= each overlapping child chunk's own cull distance (the
+    early-termination soundness invariant), and the pure-padding tail must
+    never be live. (The old super-sphere build could emit NaN floors from
+    INF-radius pad spheres; floors now REDUCE the chunk cull, see
+    mesh_kernels.live_chunk_lists2.)"""
     import jax.numpy as jnp
 
-    from relativitypathtracer_tpu.ops.pallas.mesh_large import super_spheres
+    from relativitypathtracer_tpu.ops.pallas.mesh_kernels import (
+        NB, _sub_cone_cull)
+    from relativitypathtracer_tpu.ops.pallas.mesh_large import (
+        S_SUPER, large_live_lists)
 
     rng = np.random.default_rng(0)
     C = 45  # not a multiple of S_SUPER
     sph = jnp.asarray(np.concatenate(
-        [rng.normal(size=(C, 3)), rng.uniform(0.1, 0.3, (C, 1))],
+        [rng.normal(size=(C, 3)) * 3.0, rng.uniform(0.1, 0.3, (C, 1))],
         axis=1).astype(np.float32))
-    ss = np.asarray(super_spheres(sph))
-    assert np.isfinite(ss).all()
-    # every chunk sphere is contained in its super sphere
-    for k in range(C):
-        s = ss[k // 32]
-        d = np.linalg.norm(np.asarray(sph)[k, :3] - s[:3])
-        assert d + float(sph[k, 3]) <= s[3] + 1e-4
+    d = rng.normal(size=(3, 2 * NB)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0)
+    o = np.zeros((3, 2 * NB), np.float32)
+    order, minds, counts, bits = (
+        np.asarray(x) for x in large_live_lists(sph, jnp.asarray(d),
+                                                jnp.asarray(o)))
+    mind_c, over_c = (np.asarray(x)
+                      for x in _sub_cone_cull(sph, jnp.asarray(d),
+                                              jnp.asarray(o)))
+    C_s = order.shape[2]
+    assert C_s == -(-C // S_SUPER)
+    for b in range(order.shape[0]):
+        n_live = int(counts[b, 0, 0])
+        for p in range(n_live):
+            sid = int(order[b, 0, p])
+            floor = minds[b, 0, sid]
+            assert np.isfinite(floor), (b, p, sid)
+            for k in range(sid * S_SUPER, min((sid + 1) * S_SUPER, C)):
+                if over_c[b, k]:
+                    assert floor <= mind_c[b, k] + 1e-5
+        # pure-padding bit positions (>= C) don't exist in the chunk mask
+        live_bits = [(bits[b, 0, w] >> i) & 1
+                     for w in range(bits.shape[2]) for i in range(32)]
+        assert not any(live_bits[C:]), "padding chunks marked live"
 
 
 def test_subdivision_watertight():
@@ -123,7 +145,7 @@ def test_large_path_multi_mesh(reference_root, force_large):
     W, H = 96, 64
     scene_l, meta_l = build_scene(host)
     assert scene_l.mesh_batch is None  # batch pool off for large-tier scenes
-    assert all(ms.sspheres is not None for ms in scene_l.mesh_static)
+    assert all(ms.gen_rec is not None for ms in scene_l.mesh_static)
     large = np.asarray(render_frame(scene_l, meta_l, state, W, H))
 
     mesh_intersect.LARGE_MODE = False
