@@ -92,6 +92,18 @@ def _watchdog(seconds: float):
     return t
 
 
+def cpu_fallback(backend: str, pinned: str | None) -> bool:
+    """True when an official (unpinned) run landed on the CPU interpreter.
+
+    The axon plugin usually fails by BLOCKING in PJRT client creation (the
+    watchdog handles that), but it can also error out and let jax fall back
+    to the cpu backend -- which would silently spend the whole watchdog
+    budget rendering useless CPU frames and label them as the round's
+    official artifact. Smoke runs pin RPT_PLATFORM=cpu explicitly and are
+    exempt."""
+    return pinned is None and backend == "cpu"
+
+
 def measure_ours(scene, meta):
     """BASELINE.md protocol: p50/p95 frame time over >= 100 frames, via the
     shared chained-batch estimator (utils.timing: NBATCH samples of BATCH
@@ -151,6 +163,18 @@ def main():
     # backend use). Unset for official runs (real chip).
     if os.environ.get("RPT_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["RPT_PLATFORM"])
+
+    if cpu_fallback(jax.default_backend(), os.environ.get("RPT_PLATFORM")):
+        wd.cancel()
+        print(json.dumps({
+            "metric": f"total Mrays/s, bunny.txt {W}x{H} (primary+shadow), p50",
+            "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+            "platform": "cpu",
+            "error": "official run fell back to the CPU backend (axon "
+                     "plugin failed sideways); refusing to record CPU "
+                     "frames as a TPU artifact",
+        }), flush=True)
+        sys.exit(4)
 
     from relativitypathtracer_tpu import __version__, build_scene, load_scene_file
     from relativitypathtracer_tpu.utils.jaxcache import enable as _enable_cache

@@ -15,19 +15,26 @@ DEFAULT_DIR = "/tmp/rpt_jax_cache"
 
 
 def _host_tag() -> str:
-    """Fingerprint of the host CPU (model + feature flags).
+    """Fingerprint of the host CPU microarchitecture.
 
     XLA:CPU caches AOT machine code; this container's /tmp outlives
     re-scheduling onto different machine types, and loading another host's
     executables warns 'could lead to execution errors such as SIGILL'.
     Keying the cache dir by host keeps entries host-pure. (TPU executables
     are keyed by device kind inside XLA's own cache key already; the extra
-    split costs only a first-compile per host.)"""
+    split costs only a first-compile per host.)
+
+    The VM reports a GENERIC brand string ('Intel(R) Xeon(R) Processor @
+    2.70GHz') for every machine type, so 'model name' + 'flags' alone
+    collide across hosts whose microarch differs; LLVM's host detection
+    (which picks codegen hints like prefer-no-scatter) keys off
+    family/model/stepping, so those lines must be in the hash too."""
     try:
         with open("/proc/cpuinfo") as f:
-            lines = [ln for ln in f
-                     if ln.startswith(("model name", "flags"))][:2]
-        return hashlib.md5("".join(lines).encode()).hexdigest()[:10]
+            keys = ("vendor_id", "cpu family", "model", "stepping",
+                    "model name", "flags")
+            lines = [ln for ln in f if ln.startswith(keys)][:6]
+        return hashlib.md5("".join(sorted(lines)).encode()).hexdigest()[:10]
     except OSError:  # pragma: no cover - non-Linux
         return "generic"
 

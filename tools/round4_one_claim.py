@@ -99,6 +99,13 @@ def main() -> None:
     def devices():
         d = jax.devices()
         ART["platform"] = jax.default_backend()
+        # A sideways-failing axon plugin lets jax FALL BACK to cpu instead
+        # of blocking; an official (unpinned) sequence must abort rather
+        # than spend hours labelling CPU frames as on-chip results
+        # (bench.cpu_fallback is the same policy for the driver bench).
+        if (OFFICIAL and ART["platform"] == "cpu"
+                and not os.environ.get("RPT_PLATFORM")):
+            raise RuntimeError("official run fell back to the CPU backend")
         return str(d)
 
     step("devices", 120, devices)
