@@ -100,8 +100,9 @@ def cpu_fallback(backend: str, pinned: str | None) -> bool:
     to the cpu backend -- which would silently spend the whole watchdog
     budget rendering useless CPU frames and label them as the round's
     official artifact. Smoke runs pin RPT_PLATFORM=cpu explicitly and are
-    exempt."""
-    return pinned is None and backend == "cpu"
+    exempt; a set-but-EMPTY pin counts as unpinned, because the platform
+    pin itself (main) only applies to non-empty values."""
+    return not pinned and backend == "cpu"
 
 
 def measure_ours(scene, meta):

@@ -9,6 +9,9 @@ import bench
 def test_cpu_fallback_policy():
     # official run on cpu -> refuse
     assert bench.cpu_fallback("cpu", None)
+    # set-but-empty pin (RPT_PLATFORM="" via an unset wrapper var) does NOT
+    # pin the platform, so it must not exempt the guard either
+    assert bench.cpu_fallback("cpu", "")
     # explicit smoke pin -> allowed
     assert not bench.cpu_fallback("cpu", "cpu")
     # real chip, any plugin platform name -> allowed

@@ -11,13 +11,16 @@ cd "$(dirname "$0")/.." || exit 1
 INTERVAL=${1:-600}
 GRACE=${2:-300}
 ART=ROUND4_ONECLAIM.json
-# If this loop is torn down (session end), take the in-flight attempt with
-# it: an orphaned attempt blocked in PJRT creation would otherwise grab the
-# chip when the relay recovers and stall the driver's own bench run.
-# (timeout below is the SIGKILL-proof backstop.)
+# If this loop is torn down (session end), take the in-flight attempt AND
+# our own bench with it: an orphaned process blocked in PJRT creation (or a
+# deadline-less bench -- it deliberately has no `timeout` wrapper, see below)
+# would otherwise hold the chip when the relay recovers and stall the
+# driver's own bench run. (timeout on the one-claim is the SIGKILL-proof
+# backstop for $pid.)
 pid=""
-trap '[ -n "$pid" ] && kill "$pid" 2>/dev/null' EXIT
-trap '[ -n "$pid" ] && kill "$pid" 2>/dev/null; exit 143' TERM INT
+bench_pid=""
+trap '[ -n "$pid" ] && kill "$pid" 2>/dev/null; [ -n "$bench_pid" ] && kill "$bench_pid" 2>/dev/null' EXIT
+trap '[ -n "$pid" ] && kill "$pid" 2>/dev/null; [ -n "$bench_pid" ] && kill "$bench_pid" 2>/dev/null; exit 143' TERM INT
 
 # The round driver runs `python bench.py` itself at round end. Two TPU
 # processes through the relay stall EACH OTHER, so a foreign bench.py (one
