@@ -168,6 +168,26 @@ def test_fuzz_scene_matches_oracle(seed, oracle, tmp_path):
         f"seed {seed}: {frac_bad * 100:.2f}% pixels differ > 1e-3")
 
 
+@pytest.mark.parametrize("seed", [0, 3])
+def test_fuzz_scene_interpret_kernels_match_jnp(seed):
+    """Close the chain onto the production kernels: the oracle test above
+    pins the jnp path per seed; this runs the real Pallas kernel bodies
+    (interpret mode) on fuzzed parameters -- randomized transforms/boosts
+    reach the kernels as different ray bundles and walk bounds than any
+    curated scene. Two seeds keep the interpret-mode cost bounded."""
+    from conftest import render_with_mode
+
+    host, state = _fuzz_host(seed)
+    scene, meta = build_scene(host)
+    ref = render_with_mode(scene, meta, False, state=state)
+    got = render_with_mode(scene, meta, "interpret", state=state)
+    diff = np.abs(ref - got)
+    frac_bad = float(np.mean(diff.max(-1) > 1e-3))
+    assert diff.mean() < 1e-4, f"seed {seed}: mean diff {diff.mean()}"
+    assert frac_bad <= 0.002, (
+        f"seed {seed}: {frac_bad * 100:.2f}% pixels differ > 1e-3")
+
+
 def test_fuzz_seeds_share_one_renderer():
     """The whole point of fixing the structure: every seed must produce an
     IDENTICAL SceneMeta, or the parametrized cases silently pay a fresh XLA
