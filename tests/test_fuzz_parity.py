@@ -188,6 +188,23 @@ def test_fuzz_scene_interpret_kernels_match_jnp(seed):
         f"seed {seed}: {frac_bad * 100:.2f}% pixels differ > 1e-3")
 
 
+@pytest.mark.parametrize("seed", [1, 4])
+def test_fuzz_scene_sharded_matches_single(seed):
+    """Sharded equivalence on fuzzed parameters: random boosts + a boosted
+    camera must survive the diagonal block dealing bitwise-close, not just
+    the curated scenes' stationary states."""
+    from relativitypathtracer_tpu.parallel.tiles import (
+        build_sharded_render_fn, default_mesh)
+
+    host, state = _fuzz_host(seed)
+    scene, meta = build_scene(host)
+    single = np.asarray(render_frame(scene, meta, state, W, H))
+    mesh = default_mesh(8)
+    render = build_sharded_render_fn(meta, W, H, meta.default_interval, mesh)
+    sharded = np.asarray(render(scene, state))
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
 def test_fuzz_seeds_share_one_renderer():
     """The whole point of fixing the structure: every seed must produce an
     IDENTICAL SceneMeta, or the parametrized cases silently pay a fresh XLA
