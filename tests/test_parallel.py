@@ -123,6 +123,34 @@ def test_sharded_interpret_pair_mode(reference_root, monkeypatch):
     assert diff.mean() < 1e-4
 
 
+def test_sharded_interpret_order2(reference_root, monkeypatch):
+    """Two-level live lists (RPT_ORDER2) composed with shard_map: same
+    guard as pair mode -- if the on-chip A/B flips this default, the
+    sharded composition must already be pinned."""
+    from conftest import clear_kernel_caches
+
+    from relativitypathtracer_tpu.ops import mesh_intersect
+
+    host = load_scene_file(str(reference_root / "Scenes" / "shadows.txt"))
+    scene, meta = build_scene(host)
+    W, H = 128, 64
+    state = FrameState.initial()
+    single = np.asarray(render_frame(scene, meta, state, W, H))
+    monkeypatch.setenv("RPT_ORDER2", "8")
+    mesh_intersect.PALLAS_MODE = "interpret"
+    clear_kernel_caches()
+    try:
+        mesh = default_mesh(4)
+        render = build_sharded_render_fn(meta, W, H, meta.default_interval, mesh)
+        sharded = np.asarray(render(scene, state))
+    finally:
+        mesh_intersect.PALLAS_MODE = None
+        clear_kernel_caches()
+    diff = np.abs(sharded - single)
+    assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.002
+    assert diff.mean() < 1e-4
+
+
 def test_sharded_uneven_height(cube_scene):
     # height not divisible by n_dev * 32: padding + crop must still line up
     scene, meta = cube_scene
