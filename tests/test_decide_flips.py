@@ -1,0 +1,70 @@
+"""Gate-flip decision rules (tools/decide_flips.py): a knob flips only on a
+uniform >3% win, the windowed texture kernel additionally needs an exact
+texprobe, and missing steps read as NO DATA (budget-truncated sequences must
+never produce a flip recommendation)."""
+
+import importlib
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+decide_flips = importlib.import_module("decide_flips")
+
+
+def _art(steps, tex=None):
+    if tex is not None:
+        steps = dict(steps, texprobe={"result": {"max_diff": tex}})
+    return {"steps": {k: {"result": v} if not isinstance(v, dict) else v
+                      for k, v in steps.items()}}
+
+
+def _verdict(results, knob):
+    return next(d["verdict"] for d in results if d["knob"] == knob)
+
+
+def test_uniform_win_flips():
+    res = decide_flips.decide(_art({
+        "bunny": 6.0, "bunny_pair": 5.0,
+        "shadows": 6.0, "shadows_pair": 5.5,
+        "cubes": 4.0, "cubes_pair": 3.5}))
+    assert _verdict(res, "RPT_PAIR=1") == "FLIP"
+
+
+def test_mixed_result_keeps_default():
+    res = decide_flips.decide(_art({
+        "bunny": 6.0, "bunny_pair": 5.0,
+        "shadows": 6.0, "shadows_pair": 6.1,  # loses here
+        "cubes": 4.0, "cubes_pair": 3.5}))
+    assert _verdict(res, "RPT_PAIR=1") == "KEEP"
+
+
+def test_small_win_is_noise():
+    res = decide_flips.decide(_art({"bunny": 6.0, "bunny_sub8": 5.9}))
+    assert _verdict(res, "RPT_SUB=8") == "KEEP"  # 1.7% < 3% margin
+
+
+def test_missing_step_is_no_data():
+    res = decide_flips.decide(_art({"bunny": 6.0}))
+    assert _verdict(res, "RPT_PAIR=1") == "NO DATA"
+
+
+def test_windowed_needs_exact_texprobe():
+    steps = {"arch": 5.0, "arch_windowed": 2.0,
+             "cubes": 4.0, "cubes_windowed": 1.5}
+    fast = decide_flips.decide(_art(steps, tex=0.5))  # runs but WRONG texels
+    assert _verdict(fast, "windowed texture (WINDOWED_PROVEN)").startswith(
+        "KEEP")
+    exact = decide_flips.decide(_art(steps, tex=1e-7))
+    assert _verdict(exact, "windowed texture (WINDOWED_PROVEN)") == "FLIP"
+
+
+def test_ab_matrix_names_exist_in_sequence():
+    """Every step name the decision rules reference must actually be
+    produced by tools/round4_one_claim.py, or a recovery run yields
+    NO DATA rows for real measurements."""
+    src = (Path(__file__).resolve().parents[1]
+           / "tools" / "round4_one_claim.py").read_text()
+    for pairs in decide_flips.AB_MATRIX.values():
+        for base, ab in pairs:
+            assert f'"{base}"' in src, base
+            assert f'"{ab}"' in src, ab

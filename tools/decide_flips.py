@@ -1,0 +1,99 @@
+"""Turn ROUND4_ONECLAIM.json A/B results into gate-flip recommendations.
+
+The round's perf knobs (RPT_PAIR / RPT_SHADOW_CULL / RPT_ORDER2 / RPT_ABOUND
+/ RPT_SUB / the windowed-texture WINDOWED_PROVEN gate) default OFF until
+measured on a real chip (CLAUDE.md convention). Once the one-claim sequence
+lands, this prints, per knob, the measured default-vs-knob frametimes and a
+KEEP/FLIP verdict, so acting on a recovery window is mechanical and the
+decision rules are recorded instead of re-derived.
+
+Rules:
+- A knob flips only if it wins by > MARGIN on EVERY scene it was measured
+  on (relay timings are noisy; a mixed result keeps the default).
+- The windowed texture kernel additionally requires texprobe to have run
+  wedge-free AND exact (max_diff < 1e-5) -- speed alone never flips it
+  (it is the round-3 relay-wedge suspect).
+
+Usage: python tools/decide_flips.py [ROUND4_ONECLAIM.json]
+Exit code 0 always (decision support, not a gate).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+MARGIN = 0.03  # fractional win required to flip (3%; relay noise floor)
+
+# knob -> list of (baseline_step, knob_step) pairs it was A/B'd on
+AB_MATRIX = {
+    "RPT_SHADOW_CULL=none (default boxfar)": [
+        ("bunny", "bunny_cull_none"), ("shadows", "shadows_cull_none")],
+    "RPT_PAIR=1": [
+        ("bunny", "bunny_pair"), ("shadows", "shadows_pair"),
+        ("cubes", "cubes_pair")],
+    "RPT_ORDER2=8": [
+        ("bunny", "bunny_order2"), ("shadows", "shadows_order2")],
+    "RPT_ORDER2=8 + RPT_PAIR=1": [("bunny", "bunny_order2_pair")],
+    "RPT_ABOUND=1": [("cubes", "cubes_abound")],
+    "RPT_PAIR=1 + RPT_ABOUND=1": [("cubes", "cubes_pair_abound")],
+    "RPT_SUB=8": [("bunny", "bunny_sub8")],
+    "RPT_PAIR=1 + RPT_SUB=8": [("bunny", "bunny_pair_sub8")],
+    "windowed texture (WINDOWED_PROVEN)": [
+        ("arch", "arch_windowed"), ("cubes", "cubes_windowed")],
+}
+
+
+def _ms(steps: dict, name: str):
+    entry = steps.get(name) or {}
+    res = entry.get("result")
+    if isinstance(res, (int, float)):
+        return float(res)
+    return None
+
+
+def decide(art: dict) -> list[dict]:
+    steps = art.get("steps", {})
+    tex = (steps.get("texprobe") or {}).get("result") or {}
+    tex_exact = isinstance(tex.get("max_diff"), (int, float)) \
+        and tex["max_diff"] < 1e-5
+    out = []
+    for knob, pairs in AB_MATRIX.items():
+        rows, verdict = [], "FLIP"
+        for base_name, ab_name in pairs:
+            base, ab = _ms(steps, base_name), _ms(steps, ab_name)
+            rows.append((base_name, base, ab_name, ab))
+            if base is None or ab is None:
+                verdict = "NO DATA"
+            elif verdict == "FLIP" and not ab < base * (1 - MARGIN):
+                verdict = "KEEP"
+        if knob.startswith("windowed") and verdict == "FLIP" and not tex_exact:
+            verdict = "KEEP (texprobe not exact/absent)"
+        out.append({"knob": knob, "verdict": verdict, "rows": rows})
+    return out
+
+
+def main(argv: list[str]) -> int:
+    path = pathlib.Path(argv[0]) if argv else (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "ROUND4_ONECLAIM.json")
+    if not path.exists():
+        print(f"no artifact at {path} -- run tools/round4_one_claim.py first")
+        return 0
+    art = json.loads(path.read_text())
+    print(f"artifact: {path} (platform {art.get('platform')}, "
+          f"version {art.get('version')}, {art.get('resolution')})")
+    for d in decide(art):
+        print(f"\n{d['knob']}: {d['verdict']}")
+        for base_name, base, ab_name, ab in d["rows"]:
+            fmt = lambda v: f"{v:.3f} ms" if v is not None else "missing"
+            delta = (f"  ({(1 - ab / base) * 100:+.1f}%)"
+                     if base and ab else "")
+            print(f"  {base_name}: {fmt(base)}  vs  {ab_name}: "
+                  f"{fmt(ab)}{delta}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
