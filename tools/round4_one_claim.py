@@ -149,6 +149,22 @@ def main() -> None:
         analytic_kernels.analytic_min_t_general.clear_cache()
         build_render_fn.cache_clear()
 
+    # ---- tier 0a: proof-of-life render (~45 s incl. compile). Every
+    # wedged attempt today died inside jax.devices(), so a grant that gets
+    # past `devices` is precious -- bank evidence that the FULL pipeline
+    # executes on the chip before the multi-minute protocol compiles ----
+    def probe_frame():
+        host = load_scene_file(str(REF / "Scenes" / "bunny.txt"))
+        sc, mt = build_scene(host)
+        render = build_render_fn(mt, 128, 96, mt.default_interval, 1)
+        t = time.time()
+        img = render(sc, FrameState.initial())
+        mean = float(jnp.mean(img))  # forces completion through the relay
+        return {"compile_plus_frame_s": round(time.time() - t, 1),
+                "mean_pixel": round(mean, 5)}
+
+    step("probe_frame", 90, probe_frame)
+
     # ---- tier 0: the headline bench protocol FIRST (VERDICT r3 item 1 --
     # the single most important artifact; round 3 showed a recovery window
     # can grant exactly one short claim, so the p50/Mrays number must land
