@@ -70,9 +70,12 @@ def _trs(rng, z_near=3.5, z_far=7.0, smax=1.4):
     return [*pos, angle, *axis, *scale]
 
 
-def _fuzz_host(seed: int):
-    """Fixed structure (1 light sphere, 2 spheres, textured + flashing +
-    plain cubes, 1 mesh), randomized parameters."""
+def _fuzz_host(seed: int, n_lights: int = 1):
+    """Fixed structure (n_lights light spheres, 2 spheres, textured +
+    flashing + plain cubes, 1 mesh), randomized parameters. n_lights is a
+    STRUCTURE knob (changes SceneMeta -> separate compile): the reference
+    shades with a loop over every light object (opencl_kernel.cl:573-601),
+    a path no curated scene exercises past one light."""
     rng = np.random.default_rng(1000 + seed)
     host = dsl.HostScene()
 
@@ -119,11 +122,13 @@ def _fuzz_host(seed: int):
 
     color = lambda: rng.uniform(0.1, 1.0, 3).astype(np.float32)
     host.objects = [
-        # the light rides high so most geometry is lit from above
+        # lights ride high so most geometry is lit from above
         obj(SPHERE, [rng.uniform(-2, 2), rng.uniform(2.0, 3.5),
                      rng.uniform(3.5, 7.0), 0, 0, 1, 0, 0.25, 0.25, 0.25],
-            color=np.ones(3, np.float32), light=True,
-            velocity=_vel(rng, 0.5)),
+            color=rng.uniform(0.5, 1.0, 3).astype(np.float32), light=True,
+            velocity=_vel(rng, 0.5))
+        for _ in range(n_lights)
+    ] + [
         obj(SPHERE, _trs(rng), color=color(), velocity=_vel(rng, 0.7)),
         obj(SPHERE, _trs(rng), color=color(), velocity=_vel(rng, 0.7)),
         obj(CUBE, _trs(rng), tex_offset=0, tex_w=16, tex_h=16,
@@ -163,6 +168,29 @@ def test_fuzz_scene_matches_oracle(seed, oracle, tmp_path):
     diff = np.abs(ref - ours)
     frac_bad = float(np.mean(diff.max(-1) > 1e-3))
     assert np.isfinite(ours).all()
+    assert diff.mean() < MAX_MEAN_DIFF, f"seed {seed}: mean {diff.mean()}"
+    assert frac_bad <= MAX_FRAC_BAD, (
+        f"seed {seed}: {frac_bad * 100:.2f}% pixels differ > 1e-3")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_two_lights_match_oracle(seed, oracle, tmp_path):
+    """Multi-light shading: two independent shadow chains must accumulate
+    exactly as the reference's per-light loop does."""
+    host, state = _fuzz_host(seed, n_lights=2)
+    scene, meta = build_scene(host)
+    assert len(meta.light_ids) == 2
+
+    blob = tmp_path / f"fuzz2l{seed}.blob"
+    out = tmp_path / f"fuzz2l{seed}.rgb"
+    write_scene_blob(str(blob), scene, meta, state, W, H)
+    subprocess.run([oracle, str(blob), str(out)], check=True,
+                   capture_output=True)
+    ref = np.fromfile(out, np.float32).reshape(H, W, 3)
+
+    ours = np.asarray(render_frame(scene, meta, state, W, H))
+    diff = np.abs(ref - ours)
+    frac_bad = float(np.mean(diff.max(-1) > 1e-3))
     assert diff.mean() < MAX_MEAN_DIFF, f"seed {seed}: mean {diff.mean()}"
     assert frac_bad <= MAX_FRAC_BAD, (
         f"seed {seed}: {frac_bad * 100:.2f}% pixels differ > 1e-3")
