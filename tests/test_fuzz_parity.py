@@ -173,6 +173,30 @@ def test_fuzz_scene_matches_oracle(seed, oracle, tmp_path):
         f"seed {seed}: {frac_bad * 100:.2f}% pixels differ > 1e-3")
 
 
+@pytest.mark.parametrize("seed", [2, 5])
+def test_fuzz_interval_zero_matches_oracle(seed, oracle, tmp_path):
+    """interval=0 (the DSL `I` command / the reference's 'i' toggle,
+    Render.cpp:140): rays become simultaneous-time, ambient goes to 1.0 and
+    the light loop is skipped -- a whole shading branch the fuzz seeds
+    otherwise never take."""
+    host, state = _fuzz_host(seed)
+    scene, meta = build_scene(host)
+
+    blob = tmp_path / f"fuzzi{seed}.blob"
+    out = tmp_path / f"fuzzi{seed}.rgb"
+    write_scene_blob(str(blob), scene, meta, state, W, H, interval=0)
+    subprocess.run([oracle, str(blob), str(out)], check=True,
+                   capture_output=True)
+    ref = np.fromfile(out, np.float32).reshape(H, W, 3)
+
+    ours = np.asarray(render_frame(scene, meta, state, W, H, interval=0))
+    diff = np.abs(ref - ours)
+    frac_bad = float(np.mean(diff.max(-1) > 1e-3))
+    assert diff.mean() < MAX_MEAN_DIFF, f"seed {seed}: mean {diff.mean()}"
+    assert frac_bad <= MAX_FRAC_BAD, (
+        f"seed {seed}: {frac_bad * 100:.2f}% pixels differ > 1e-3")
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_fuzz_two_lights_match_oracle(seed, oracle, tmp_path):
     """Multi-light shading: two independent shadow chains must accumulate
