@@ -1,0 +1,134 @@
+"""Cross-platform TPU lowering of the production kernels from the CPU host.
+
+jax can lower a traced function for a platform it has no device for
+(`.lower(lowering_platforms=("tpu",))`); for pallas_call that runs the whole
+Pallas -> Mosaic dialect pipeline (BlockSpec/layout/primitive lowering
+rules), emitting the `tpu_custom_call` ops a real chip would execute. A
+kernel change that trips a Mosaic LOWERING error therefore fails here, on
+CPU CI, instead of costing a relay claim on the wedged-prone axon chip.
+
+Honest scope: this validates lowering, NOT the Mosaic backend compile
+(VMEM budgeting, register allocation, the Mosaic->LLO pass run inside XLA
+at device-compile time) -- round 3's relay wedge lived beyond this line.
+Still, it statically pins every kernel family and every trace-time knob
+combination the on-chip A/B sequence will route through.
+"""
+
+import jax
+import numpy as np
+import pytest
+from conftest import clear_kernel_caches
+
+from relativitypathtracer_tpu import FrameState, build_scene, load_scene_file
+from relativitypathtracer_tpu.ops import mesh_intersect
+from relativitypathtracer_tpu.render import build_render_fn
+
+W, H = 256, 192
+
+
+def _lower_for_tpu(meta, scene, msaa=1):
+    """Trace the production-kernel renderer and lower it for TPU; returns
+    the number of tpu_custom_call sites in the StableHLO."""
+    render = build_render_fn(meta, W, H, meta.default_interval, msaa)
+    lowered = jax.jit(render).trace(
+        scene, FrameState.initial()).lower(lowering_platforms=("tpu",))
+    return lowered.as_text().count("tpu_custom_call")
+
+
+@pytest.fixture
+def real_kernels():
+    mesh_intersect.PALLAS_MODE = True
+    clear_kernel_caches()
+    yield
+    mesh_intersect.PALLAS_MODE = None
+    mesh_intersect.LARGE_MODE = None
+    clear_kernel_caches()
+
+
+def _scene(reference_root, name):
+    return build_scene(load_scene_file(
+        str(reference_root / "Scenes" / f"{name}.txt")))
+
+
+@pytest.mark.parametrize("name,min_kernels", [
+    ("bunny", 4),    # mesh nearest + shadow chain + mesh min_t + analytic
+    ("shadows", 4),  # mesh + analytic + shadow rays with tmax
+    ("cubes", 1),    # fused analytic nearest (no light -> no min_t pass)
+    ("arch", 3),     # analytic + mesh + texture route
+])
+def test_renderer_lowers_for_tpu(name, min_kernels, reference_root,
+                                 real_kernels):
+    scene, meta = _scene(reference_root, name)
+    n = _lower_for_tpu(meta, scene)
+    assert n >= min_kernels, f"{name}: only {n} tpu_custom_call sites"
+
+
+def test_large_tier_lowers_for_tpu(reference_root, real_kernels):
+    """The HBM-streaming kernels (double-buffered DMA, scalar-prefetch
+    grids) are the most Mosaic-feature-hungry code in the repo."""
+    mesh_intersect.LARGE_MODE = True
+    clear_kernel_caches()
+    scene, meta = _scene(reference_root, "shadows")
+    assert scene.mesh_static[0].gen_rec is not None
+    n = _lower_for_tpu(meta, scene)
+    assert n >= 2
+
+
+def test_multimesh_batched_lowers_for_tpu(reference_root, real_kernels):
+    """The batched multi-mesh kernels (fused chunk pool, per-chunk object
+    ids, SMEM transform table) on the two-mesh fixture scene."""
+    from conftest import MULTI_SCENE
+
+    from relativitypathtracer_tpu import parse_scene
+
+    host = parse_scene(MULTI_SCENE, str(reference_root))
+    scene, meta = build_scene(host)
+    assert scene.mesh_batch is not None  # batch pool actually engaged
+    n = _lower_for_tpu(meta, scene)
+    assert n >= 2  # batched nearest + batched shadow min-t
+
+
+@pytest.mark.parametrize("env", [
+    {"RPT_PAIR": "1"},
+    {"RPT_ORDER2": "8"},
+    {"RPT_ORDER2": "8", "RPT_PAIR": "1"},
+    {"RPT_SHADOW_CULL": "none"},
+    {"RPT_SHADOW_CULL": "tmax"},
+    {"RPT_ABOUND": "1"},
+])
+def test_knob_combos_lower_for_tpu(env, reference_root, real_kernels,
+                                   monkeypatch):
+    """Every trace-time knob combination the on-chip A/B sequence flips
+    must lower -- a knob that only works in interpret mode would burn a
+    relay claim to discover."""
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    clear_kernel_caches()
+    scene, meta = _scene(reference_root, "shadows")
+    try:
+        n = _lower_for_tpu(meta, scene)
+    finally:
+        clear_kernel_caches()
+    assert n >= 3
+
+
+def test_windowed_texture_kernel_lowers_for_tpu(reference_root, real_kernels,
+                                                monkeypatch):
+    """The round-3 relay-wedge suspect: route cube.txt's atlas onto the
+    windowed kernel and lower it. (Its wedge was a backend-compile/VMEM
+    phenomenon -- beyond lowering's reach -- but the post-fix shift-free
+    body must at minimum keep LOWERING cleanly as it evolves.)"""
+    monkeypatch.setenv("RPT_WINDOWED_MAX_ROWS", "1100000")
+    clear_kernel_caches()
+    scene, meta = _scene(reference_root, "cube")
+    try:
+        n = _lower_for_tpu(meta, scene)
+    finally:
+        clear_kernel_caches()
+    assert n >= 1
+
+
+def test_msaa_lowers_for_tpu(reference_root, real_kernels):
+    scene, meta = _scene(reference_root, "bunny")
+    n = _lower_for_tpu(meta, scene, msaa=2)
+    assert n >= 4
