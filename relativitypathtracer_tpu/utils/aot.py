@@ -63,9 +63,29 @@ def export_render(scene, meta, width: int, height: int,
     return bytes(exp.serialize())
 
 
+def export_sharded_render(scene, meta, width: int, height: int, mesh,
+                          interval: int | None = None, msaa: int = 1,
+                          platforms: tuple[str, ...] = ("tpu",)) -> bytes:
+    """Serialize the MULTI-CHIP renderer (parallel/tiles.py shard_map over
+    `mesh`). The artifact records the device count; the serving host calls
+    it with arguments device_put onto an equal-size mesh (replicated
+    PartitionSpec() -- the scene is replicated, the image decomposition is
+    internal)."""
+    from ..parallel.tiles import build_sharded_render_fn
+
+    if interval is None:
+        interval = meta.default_interval
+    fn = build_sharded_render_fn(meta, width, height, int(interval), mesh,
+                                 msaa=msaa)
+    scene_s, state_s = _arg_structs(scene)
+    exp = jax_export.export(jax.jit(fn), platforms=platforms)(scene_s, state_s)
+    return bytes(exp.serialize())
+
+
 def load_render(data: bytes):
     """Deserialize an exported renderer; returns render(scene, state) ->
     (H, W, 3) image, executable on any platform the artifact was exported
-    for (device dispatch is the caller's jax context)."""
+    for (device dispatch is the caller's jax context; multi-chip artifacts
+    need args device_put onto a mesh of the exported size)."""
     exp = jax_export.deserialize(data)
     return exp.call

@@ -56,6 +56,30 @@ def test_exported_artifact_takes_new_scene_and_state(cube_scene,
     assert np.abs(out - np.asarray(render(scene, FrameState.initial()))).max() > 0.01
 
 
+def test_export_sharded_renderer_roundtrip(cube_scene):
+    """Multi-chip serving: the shard_map renderer exports with its device
+    count baked into the calling convention and round-trips bit-exactly on
+    the 8-device mesh (args replicated via device_put)."""
+    import jax
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from relativitypathtracer_tpu.parallel.tiles import (
+        build_sharded_render_fn, default_mesh)
+    from relativitypathtracer_tpu.utils.aot import export_sharded_render
+
+    scene, meta = cube_scene
+    mesh = default_mesh(8)
+    data = export_sharded_render(scene, meta, W, H, mesh, platforms=("cpu",))
+    render = load_render(data)
+    rep = NamedSharding(mesh, P())
+    out = np.asarray(render(jax.device_put(scene, rep),
+                            jax.device_put(FrameState.initial(), rep)))
+    live = build_sharded_render_fn(meta, W, H, meta.default_interval, mesh)
+    ref = np.asarray(live(scene, FrameState.initial()))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_export_production_kernels_for_tpu(cube_scene):
     """The deployment story: the REAL Pallas-kernel renderer exports for
     TPU from this CPU-only host (lowering is cross-platform; execution of
