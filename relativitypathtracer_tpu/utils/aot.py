@@ -46,26 +46,38 @@ def _arg_structs(scene):
     return scene_s, state_s
 
 
+def _finish(exp, lint: bool) -> bytes:
+    if lint and "tpu" in exp.platforms:
+        from .mosaic_lint import assert_vmem_budget
+
+        assert_vmem_budget(exp.mlir_module())
+    return bytes(exp.serialize())
+
+
 def export_render(scene, meta, width: int, height: int,
                   interval: int | None = None, msaa: int = 1,
-                  platforms: tuple[str, ...] = ("tpu",)) -> bytes:
+                  platforms: tuple[str, ...] = ("tpu",),
+                  lint: bool = True) -> bytes:
     """Serialize the jitted frame renderer for the given platforms.
 
     `scene` supplies only the input SHAPES (it is not baked in). Platforms
     are lowered eagerly on this host -- no device of that kind is needed
     ("tpu" exports fine from a CPU box; the production Pallas kernels
-    require it, the jnp fallback also lowers for "cpu")."""
+    require it, the jnp fallback also lowers for "cpu"). TPU exports are
+    VMEM-budget-linted by default (utils/mosaic_lint.py): an artifact that
+    cannot fit the chip fails HERE, not on the serving fleet."""
     if interval is None:
         interval = meta.default_interval
     fn = build_render_fn(meta, width, height, int(interval), msaa)
     scene_s, state_s = _arg_structs(scene)
     exp = jax_export.export(jax.jit(fn), platforms=platforms)(scene_s, state_s)
-    return bytes(exp.serialize())
+    return _finish(exp, lint)
 
 
 def export_sharded_render(scene, meta, width: int, height: int, mesh,
                           interval: int | None = None, msaa: int = 1,
-                          platforms: tuple[str, ...] = ("tpu",)) -> bytes:
+                          platforms: tuple[str, ...] = ("tpu",),
+                          lint: bool = True) -> bytes:
     """Serialize the MULTI-CHIP renderer (parallel/tiles.py shard_map over
     `mesh`). The artifact records the device count; the serving host calls
     it with arguments device_put onto an equal-size mesh (replicated
@@ -79,7 +91,7 @@ def export_sharded_render(scene, meta, width: int, height: int, mesh,
                                  msaa=msaa)
     scene_s, state_s = _arg_structs(scene)
     exp = jax_export.export(jax.jit(fn), platforms=platforms)(scene_s, state_s)
-    return bytes(exp.serialize())
+    return _finish(exp, lint)
 
 
 def load_render(data: bytes):
