@@ -31,8 +31,6 @@ _DTYPE_BYTES = {
     "ui64": 8, "ui32": 4, "ui16": 2, "ui8": 1,
 }
 
-_MEMREF = re.compile(
-    r"memref<((?:\d+x)*)(\w+)(?:,\s*([^>]*?))?>")
 _CONFIG = re.compile(r'backend_config\s*=\s*"(.*?)(?<!\\)"', re.S)
 
 
@@ -50,16 +48,35 @@ def _mosaic_modules(lowered_text: str) -> list[bytes]:
 
 
 def _entry_memrefs(module_text: str) -> list[tuple[str, str, str]]:
-    """(dims, dtype, space) for each entry-block argument memref."""
+    """(dims, dtype, space) for each entry-block argument memref.
+
+    Memref types nest angle brackets (`memref<8x128xf32,
+    #tpu.memory_space<smem>>`), so the type body is extracted by bracket
+    counting, not regex -- a lazy `[^>]*?` would truncate at the inner `>`
+    and silently relabel every smem/semaphore ref as vmem."""
     out = []
     for block in re.findall(r"\^bb0\((.*?)\):", module_text, re.S):
-        for dims, dtype, extra in _MEMREF.findall(block):
-            space = "vmem"  # Mosaic's default memory space
-            if extra:
-                sm = re.search(r"memory_space<(\w+)>", extra)
-                if sm:
-                    space = sm.group(1)
-            out.append((dims, dtype, space))
+        i = 0
+        while True:
+            j = block.find("memref<", i)
+            if j < 0:
+                break
+            k = j + len("memref<")
+            depth = 1
+            while k < len(block) and depth:
+                if block[k] == "<":
+                    depth += 1
+                elif block[k] == ">":
+                    depth -= 1
+                k += 1
+            inner = block[j + len("memref<"):k - 1]
+            i = k
+            m = re.match(r"((?:\d+x)*)(\w+)\s*(?:,|$)", inner)
+            if not m:
+                continue
+            sm = re.search(r"memory_space<(\w+)>", inner)
+            space = sm.group(1) if sm else "vmem"  # Mosaic's default space
+            out.append((m.group(1), m.group(2), space))
     return out
 
 

@@ -39,6 +39,21 @@ def _lowered(reference_root, name, env=None, monkeypatch=None, msaa=1):
         clear_kernel_caches()
 
 
+def test_entry_memref_parsing_handles_nested_spaces():
+    """smem/semaphore refs must not be relabeled vmem: memref types nest
+    angle brackets, which a lazy regex truncates."""
+    from relativitypathtracer_tpu.utils.mosaic_lint import _entry_memrefs
+
+    sig = ("^bb0(%arg0: i32, "
+           "%arg1: memref<1x1x160xi32, #tpu.memory_space<smem>>, "
+           "%arg2: memref<512x128xf32, #tpu.memory_space<vmem>>, "
+           "%arg3: memref<8x128xbf16>):")
+    refs = _entry_memrefs(sig)
+    assert refs == [("1x1x160x", "i32", "smem"),
+                    ("512x128x", "f32", "vmem"),
+                    ("8x128x", "bf16", "vmem")]
+
+
 def test_linter_catches_oversized_vmem_ref():
     """Teeth: a kernel declaring a >16 MiB VMEM input must FAIL the budget
     -- this is the exact shape of the round-3 wedge."""
