@@ -101,9 +101,10 @@ def kernel_vmem_footprints(lowered_text: str) -> list[dict]:
         ctx.allow_unregistered_dialects = True
         text = str(ir.Module.parse(raw, ctx))
         name_m = re.search(r"module @(\w+)", text)
+        refs = _entry_memrefs(text)
         spaces: dict[str, int] = {}
         vmem, largest = 0, 0
-        for dims, dtype, space in _entry_memrefs(text):
+        for dims, dtype, space in refs:
             b = _bytes_of(dims, dtype)
             spaces[space] = spaces.get(space, 0) + b
             if space == "vmem":
@@ -113,8 +114,7 @@ def kernel_vmem_footprints(lowered_text: str) -> list[dict]:
             "name": name_m.group(1) if name_m else "?",
             "vmem_bytes": vmem,
             "largest_ref_bytes": largest,
-            "n_vmem_refs": sum(1 for *_x, s in _entry_memrefs(text)
-                               if s == "vmem"),
+            "n_vmem_refs": sum(1 for *_x, s in refs if s == "vmem"),
             "spaces": spaces,
         })
     return reports
@@ -123,8 +123,17 @@ def kernel_vmem_footprints(lowered_text: str) -> list[dict]:
 def assert_vmem_budget(lowered_text: str,
                        budget: int = VMEM_BUDGET_BYTES) -> list[dict]:
     """Raise if any kernel's declared VMEM refs exceed the budget; returns
-    the per-kernel reports for logging either way."""
+    the per-kernel reports for logging either way.
+
+    Also raises if the text CONTAINS tpu_custom_calls but none decoded to
+    a Mosaic module -- a jax version changing the backend_config encoding
+    must blind the linter LOUDLY, not let an unvetted artifact through."""
     reports = kernel_vmem_footprints(lowered_text)
+    if not reports and "tpu_custom_call" in lowered_text:
+        raise AssertionError(
+            "tpu_custom_call present but no Mosaic module decoded -- the "
+            "VMEM linter cannot see these kernels (backend_config "
+            "encoding changed?)")
     over = [r for r in reports if r["vmem_bytes"] > budget]
     if over:
         detail = ", ".join(

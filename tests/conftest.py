@@ -29,6 +29,23 @@ def reference_root():
     return REFERENCE_ROOT
 
 
+@pytest.fixture(scope="session")
+def oracle():
+    """Path to the built C++ differential oracle (one locate-and-build
+    implementation for every suite that diffs against it)."""
+    import shutil
+    import subprocess
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    binary = repo / "native" / "cpu_reference"
+    if not binary.exists():
+        if shutil.which("g++") is None:
+            pytest.skip("no g++ available to build the oracle")
+        subprocess.run(["make", "-C", str(repo / "native")], check=True,
+                       capture_output=True)
+    return str(binary)
+
+
 # Two-mesh scene with a point light: exercises the batched multi-mesh
 # kernels (primary + shadow). Shared by the interpret, oracle-parity and
 # large-mesh suites (one copy: drift between copies weakens coverage).

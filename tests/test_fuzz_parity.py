@@ -12,8 +12,6 @@ behavior under rotation, flash timing in the object's proper time
 (opencl_kernel.cl:374-386).
 """
 
-import pathlib
-import shutil
 import subprocess
 
 import jax.numpy as jnp
@@ -26,8 +24,6 @@ from relativitypathtracer_tpu.models.octree import generate_octree
 from relativitypathtracer_tpu.models.scene import CUBE, MESH, SPHERE
 from relativitypathtracer_tpu.utils.scene_blob import write_scene_blob
 
-REPO = pathlib.Path(__file__).resolve().parent.parent
-ORACLE = REPO / "native" / "cpu_reference"
 W, H = 128, 72
 SEEDS = range(6)
 # Fuzzed configs hit more contrast edges than the curated scenes (randomly
@@ -37,15 +33,28 @@ SEEDS = range(6)
 MAX_FRAC_BAD = 0.01
 MAX_MEAN_DIFF = 2e-3
 
+# the `oracle` fixture (locate + build the C++ oracle) lives in conftest.py
 
-@pytest.fixture(scope="module")
-def oracle():
-    if not ORACLE.exists():
-        if shutil.which("g++") is None:
-            pytest.skip("no g++ available to build the oracle")
-        subprocess.run(["make", "-C", str(REPO / "native")], check=True,
-                       capture_output=True)
-    return str(ORACLE)
+
+def _assert_oracle_parity(oracle, scene, meta, state, tmp_path, tag,
+                          interval=None):
+    """Shared blob -> oracle -> readback -> per-pixel diff block, so the
+    thresholds live in exactly one place."""
+    blob = tmp_path / f"{tag}.blob"
+    out = tmp_path / f"{tag}.rgb"
+    write_scene_blob(str(blob), scene, meta, state, W, H, interval=interval)
+    subprocess.run([oracle, str(blob), str(out)], check=True,
+                   capture_output=True)
+    ref = np.fromfile(out, np.float32).reshape(H, W, 3)
+
+    ours = np.asarray(render_frame(scene, meta, state, W, H,
+                                   interval=interval))
+    diff = np.abs(ref - ours)
+    frac_bad = float(np.mean(diff.max(-1) > 1e-3))
+    assert np.isfinite(ours).all()
+    assert diff.mean() < MAX_MEAN_DIFF, f"{tag}: mean {diff.mean()}"
+    assert frac_bad <= MAX_FRAC_BAD, (
+        f"{tag}: {frac_bad * 100:.2f}% pixels differ > 1e-3")
 
 
 def _unit(rng):
@@ -156,21 +165,8 @@ def _fuzz_host(seed: int, n_lights: int = 1):
 def test_fuzz_scene_matches_oracle(seed, oracle, tmp_path):
     host, state = _fuzz_host(seed)
     scene, meta = build_scene(host)
-
-    blob = tmp_path / f"fuzz{seed}.blob"
-    out = tmp_path / f"fuzz{seed}.rgb"
-    write_scene_blob(str(blob), scene, meta, state, W, H)
-    subprocess.run([oracle, str(blob), str(out)], check=True,
-                   capture_output=True)
-    ref = np.fromfile(out, np.float32).reshape(H, W, 3)
-
-    ours = np.asarray(render_frame(scene, meta, state, W, H))
-    diff = np.abs(ref - ours)
-    frac_bad = float(np.mean(diff.max(-1) > 1e-3))
-    assert np.isfinite(ours).all()
-    assert diff.mean() < MAX_MEAN_DIFF, f"seed {seed}: mean {diff.mean()}"
-    assert frac_bad <= MAX_FRAC_BAD, (
-        f"seed {seed}: {frac_bad * 100:.2f}% pixels differ > 1e-3")
+    _assert_oracle_parity(oracle, scene, meta, state, tmp_path,
+                          f"fuzz{seed}")
 
 
 @pytest.mark.parametrize("seed", [2, 5])
@@ -181,20 +177,8 @@ def test_fuzz_interval_zero_matches_oracle(seed, oracle, tmp_path):
     otherwise never take."""
     host, state = _fuzz_host(seed)
     scene, meta = build_scene(host)
-
-    blob = tmp_path / f"fuzzi{seed}.blob"
-    out = tmp_path / f"fuzzi{seed}.rgb"
-    write_scene_blob(str(blob), scene, meta, state, W, H, interval=0)
-    subprocess.run([oracle, str(blob), str(out)], check=True,
-                   capture_output=True)
-    ref = np.fromfile(out, np.float32).reshape(H, W, 3)
-
-    ours = np.asarray(render_frame(scene, meta, state, W, H, interval=0))
-    diff = np.abs(ref - ours)
-    frac_bad = float(np.mean(diff.max(-1) > 1e-3))
-    assert diff.mean() < MAX_MEAN_DIFF, f"seed {seed}: mean {diff.mean()}"
-    assert frac_bad <= MAX_FRAC_BAD, (
-        f"seed {seed}: {frac_bad * 100:.2f}% pixels differ > 1e-3")
+    _assert_oracle_parity(oracle, scene, meta, state, tmp_path,
+                          f"fuzzi{seed}", interval=0)
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -204,20 +188,8 @@ def test_fuzz_two_lights_match_oracle(seed, oracle, tmp_path):
     host, state = _fuzz_host(seed, n_lights=2)
     scene, meta = build_scene(host)
     assert len(meta.light_ids) == 2
-
-    blob = tmp_path / f"fuzz2l{seed}.blob"
-    out = tmp_path / f"fuzz2l{seed}.rgb"
-    write_scene_blob(str(blob), scene, meta, state, W, H)
-    subprocess.run([oracle, str(blob), str(out)], check=True,
-                   capture_output=True)
-    ref = np.fromfile(out, np.float32).reshape(H, W, 3)
-
-    ours = np.asarray(render_frame(scene, meta, state, W, H))
-    diff = np.abs(ref - ours)
-    frac_bad = float(np.mean(diff.max(-1) > 1e-3))
-    assert diff.mean() < MAX_MEAN_DIFF, f"seed {seed}: mean {diff.mean()}"
-    assert frac_bad <= MAX_FRAC_BAD, (
-        f"seed {seed}: {frac_bad * 100:.2f}% pixels differ > 1e-3")
+    _assert_oracle_parity(oracle, scene, meta, state, tmp_path,
+                          f"fuzz2l{seed}")
 
 
 @pytest.mark.parametrize("seed", [0, 3])

@@ -9,7 +9,6 @@ bilinear-tap decision (inevitable between any two float implementations).
 """
 
 import pathlib
-import shutil
 import subprocess
 
 import numpy as np
@@ -19,21 +18,13 @@ from relativitypathtracer_tpu import FrameState, build_scene, load_scene_file, r
 from relativitypathtracer_tpu.utils.scene_blob import write_scene_blob
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-ORACLE = REPO / "native" / "cpu_reference"
 W, H = 192, 108
 
 SCENES = ["cube", "soccer", "arch", "cubes", "ladder_paradox", "rulers", "shadows", "bunny"]
 # scene -> max fraction of pixels allowed above 1e-3
 TOL = {name: 0.005 for name in SCENES}
 
-
-@pytest.fixture(scope="module")
-def oracle():
-    if not ORACLE.exists():
-        if shutil.which("g++") is None:
-            pytest.skip("no g++ available to build the oracle")
-        subprocess.run(["make", "-C", str(REPO / "native")], check=True, capture_output=True)
-    return str(ORACLE)
+# the `oracle` fixture (locate + build the C++ oracle) lives in conftest.py
 
 
 @pytest.mark.parametrize("name", SCENES)

@@ -60,14 +60,23 @@ def decide(art: dict) -> list[dict]:
         and tex["max_diff"] < 1e-5
     out = []
     for knob, pairs in AB_MATRIX.items():
-        rows, verdict = [], "FLIP"
+        rows, any_missing, any_loss = [], False, False
         for base_name, ab_name in pairs:
             base, ab = _ms(steps, base_name), _ms(steps, ab_name)
             rows.append((base_name, base, ab_name, ab))
             if base is None or ab is None:
-                verdict = "NO DATA"
-            elif verdict == "FLIP" and not ab < base * (1 - MARGIN):
-                verdict = "KEEP"
+                any_missing = True
+            elif not ab < base * (1 - MARGIN):
+                any_loss = True
+        # A measured non-win disqualifies regardless of missing pairs (a
+        # budget-truncated run must not hide a loss behind NO DATA); only a
+        # fully-measured uniform win flips.
+        if any_loss:
+            verdict = "KEEP"
+        elif any_missing:
+            verdict = "NO DATA"
+        else:
+            verdict = "FLIP"
         if knob.startswith("windowed") and verdict == "FLIP" and not tex_exact:
             verdict = "KEEP (texprobe not exact/absent)"
         out.append({"knob": knob, "verdict": verdict, "rows": rows})

@@ -160,7 +160,11 @@ def main() -> None:
         t = time.time()
         img = render(sc, FrameState.initial())
         mean = float(jnp.mean(img))  # forces completion through the relay
-        return {"compile_plus_frame_s": round(time.time() - t, 1),
+        # Deliberately NOT a frame-time datum (CLAUDE.md: all frame timing
+        # goes through utils/timing.py): this wall number includes compile
+        # AND the un-subtracted relay RTT -- it exists only to prove the
+        # pipeline executed. bench_protocol right after owns the timings.
+        return {"wall_s_incl_compile_and_rtt": round(time.time() - t, 1),
                 "mean_pixel": round(mean, 5)}
 
     step("probe_frame", 90, probe_frame)
