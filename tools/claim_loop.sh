@@ -33,6 +33,22 @@ foreign_bench() {
   return 1
 }
 
+# Root cause of the round-4 outage (diagnosed 00:09 Aug 19): the loopback
+# relay TERMINAL listener (127.0.0.1:8082/8083, forwarded to the real TPU
+# by the harness) is absent from this container's netns -- the PJRT client
+# then retries its dial at 1/s forever, which is the "wedge". A TCP
+# pre-probe makes recovery reaction near-instant (30 s polls cost nothing)
+# and stops burning a 5-min python launch per blind attempt. The transport
+# diagnosis could be wrong, so a FULL launch still runs every FULL_EVERY
+# seconds regardless of the probe.
+FULL_EVERY=2700
+last_full=0
+probe_ok() {
+  timeout 2 bash -c "</dev/tcp/127.0.0.1/8083" 2>/dev/null && return 0
+  timeout 2 bash -c "</dev/tcp/127.0.0.1/8082" 2>/dev/null && return 0
+  return 1
+}
+
 while true; do
   if foreign_bench; then
     [ -n "$pid" ] && { kill "$pid" 2>/dev/null; sleep 2; kill -9 "$pid" 2>/dev/null; pid=""; }
@@ -40,6 +56,12 @@ while true; do
     sleep 60
     continue
   fi
+  if ! probe_ok && [ $(( $(date +%s) - last_full )) -lt "$FULL_EVERY" ]; then
+    sleep 30
+    continue
+  fi
+  probe_ok && echo "$(date +%H:%M:%S) PORT PROBE LIVE (8082/8083 accepting)" >> /tmp/relay_status
+  last_full=$(date +%s)
   start=$(date +%s)
   timeout 7500 python tools/round4_one_claim.py > /tmp/oneclaim4.log 2>&1 &
   pid=$!
