@@ -165,15 +165,16 @@ def build_sharded_render_fn(meta: SceneMeta, width: int, height: int, interval: 
     return render
 
 
-def band_mesh_work(scene: Scene, meta: SceneMeta, width: int, height: int,
-                   n_dev: int, assign: str = "strided", state=None,
-                   interval: int | None = None):
-    """Per-device mesh-work proxy: primary rays whose nearest hit is a MESH
-    object, counted under the given block assignment. The mesh walk dominates
-    the frame budget (ROADMAP's bunny breakdown), so mesh-hit rays approximate
-    each device's share of the real work. Returns (counts (n_dev,) int64,
-    skew = max/mean). Used by tests/test_parallel.py to keep the default
-    assignment's skew bounded on bunny."""
+def per_block_mesh_work(scene: Scene, meta: SceneMeta, width: int,
+                        height: int, n_dev: int, state=None,
+                        interval: int | None = None):
+    """Per-BLOCK mesh-work proxy: primary rays whose nearest hit is a MESH
+    object, summed per 1024-lane block. The mesh walk dominates the frame
+    budget (ROADMAP's bunny breakdown), so mesh-hit rays approximate each
+    block's share of the real work. The expensive intersect depends only on
+    the (n_dev-padded) grid, NOT the block assignment -- compute it once
+    and repartition with partition_work for each assignment under test.
+    Returns (per_block (n_blocks,) f32, grid_rows, grid_cols)."""
     from ..render import intersect_scene
 
     if state is None:
@@ -184,7 +185,6 @@ def band_mesh_work(scene: Scene, meta: SceneMeta, width: int, height: int,
     band_h = _round_up(-(-height // n_dev), TILE)
     ph = band_h * n_dev
     n_blocks = (ph // TILE) * (pw // TILE)
-    dev_blocks, _ = deal_blocks(n_dev, ph // TILE, pw // TILE, assign)
 
     dirs = camera_ray_dirs(width, height, 1, pad_width=pw, pad_height=ph)
     d = tile_swizzle(dirs.reshape(-1, 3).T, ph, pw)  # (3, ph*pw)
@@ -205,11 +205,30 @@ def band_mesh_work(scene: Scene, meta: SceneMeta, width: int, height: int,
     col = tile_swizzle(col_img.reshape(1, -1), ph, pw)[0]
     work = (mesh_hit & (row < height) & (col < width)).astype(jnp.float32)
     per_block = np.asarray(work.reshape(n_blocks, LANES).sum(axis=1))
+    return per_block, ph // TILE, pw // TILE
+
+
+def partition_work(per_block, grid_rows: int, grid_cols: int, n_dev: int,
+                   assign: str):
+    """Deal per-block work onto n_dev devices under `assign`; returns
+    (counts (n_dev,) int64, skew = max/mean)."""
+    dev_blocks, _ = deal_blocks(n_dev, grid_rows, grid_cols, assign)
     counts = np.array([int(per_block[dev_blocks[b]].sum())
                        for b in range(n_dev)])
     mean = counts.mean()
     skew = float(counts.max() / mean) if mean > 0 else 0.0
     return counts, skew
+
+
+def band_mesh_work(scene: Scene, meta: SceneMeta, width: int, height: int,
+                   n_dev: int, assign: str = "strided", state=None,
+                   interval: int | None = None):
+    """counts/skew for ONE assignment (per_block_mesh_work + partition_work
+    convenience; compare several assignments via the split API so the
+    intersect runs once)."""
+    per_block, rows, cols = per_block_mesh_work(
+        scene, meta, width, height, n_dev, state=state, interval=interval)
+    return partition_work(per_block, rows, cols, n_dev, assign)
 
 
 def default_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:

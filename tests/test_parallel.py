@@ -38,13 +38,16 @@ def test_band_skew_bunny(reference_root):
     well under 2x, and strictly improve on contiguous bands (VERDICT r3 weak
     #5). 192x512 gives a representative 6x16 block grid; tiny grids (a
     handful of blocks per device) stay granularity-bound by nature."""
-    from relativitypathtracer_tpu.parallel.tiles import band_mesh_work
+    from relativitypathtracer_tpu.parallel.tiles import (
+        partition_work, per_block_mesh_work)
 
     host = load_scene_file(str(reference_root / "Scenes" / "bunny.txt"))
     scene, meta = build_scene(host)
     W, H = 192, 512
-    cont, skew_cont = band_mesh_work(scene, meta, W, H, 8, "contiguous")
-    stri, skew_stri = band_mesh_work(scene, meta, W, H, 8, "strided")
+    # the intersect is assignment-independent: trace once, partition twice
+    per_block, rows, cols = per_block_mesh_work(scene, meta, W, H, 8)
+    cont, skew_cont = partition_work(per_block, rows, cols, 8, "contiguous")
+    stri, skew_stri = partition_work(per_block, rows, cols, 8, "strided")
     assert cont.sum() == stri.sum() > 0  # same total work, just repartitioned
     assert skew_cont > 2.0  # the problem exists (bunny fills center bands)
     assert skew_stri <= 1.6, f"strided skew {skew_stri} (counts {stri})"
