@@ -10,6 +10,7 @@
 cd "$(dirname "$0")/.." || exit 1
 INTERVAL=${1:-600}
 GRACE=${2:-300}
+BUDGET=${3:-5400}   # per-attempt one-claim step budget (seconds)
 ART=ROUND4_ONECLAIM.json
 # If this loop is torn down (session end), take the in-flight attempt AND
 # our own bench with it: an orphaned process blocked in PJRT creation (or a
@@ -63,7 +64,7 @@ while true; do
   probe_ok && echo "$(date +%H:%M:%S) PORT PROBE LIVE (8082/8083 accepting)" >> /tmp/relay_status
   last_full=$(date +%s)
   start=$(date +%s)
-  timeout 7500 python tools/round4_one_claim.py > /tmp/oneclaim4.log 2>&1 &
+  timeout 7500 python tools/round4_one_claim.py "$BUDGET" > /tmp/oneclaim4.log 2>&1 &
   pid=$!
   echo $pid > /tmp/oneclaim4.pid
   echo "$(date +%H:%M:%S) launched one-claim pid $pid" >> /tmp/relay_status
