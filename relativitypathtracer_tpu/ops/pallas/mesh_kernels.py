@@ -95,7 +95,9 @@ def _cones_of(dh_blocks, o_blocks):
 # (matches the tile swizzle's quadrant-major layout); 8/16 halve the lanes
 # per cone again (16x8 / 8x8 strips within a quadrant) -- tighter cones,
 # 2-4x the cull flops. RPT_SUB overrides for on-chip A/B (trace-time).
-SUB = int(os.environ.get("RPT_SUB", "4") or 4)
+# Default 8: measured round 4 on-chip (ROUND4_ONECLAIM.json) bunny
+# 7.996 -> 7.708 ms alone, 7.324 ms with pairing.
+SUB = int(os.environ.get("RPT_SUB", "8") or 8)
 
 
 def _pair_mode() -> bool:
@@ -106,9 +108,12 @@ def _pair_mode() -> bool:
     loop iterations and their fixed scalar overhead (SMEM order/floor reads,
     bound reduction, trip bookkeeping). The pair is exact: the second chunk
     of a pair may execute one step past the early-termination bound, which
-    can only ADD candidate hits that lose the min. RPT_PAIR=1 enables; read
-    at trace time (A/B via one process per mode, like RPT_SHADOW_CULL)."""
-    return os.environ.get("RPT_PAIR", "").strip() == "1"
+    can only ADD candidate hits that lose the min. Default ON since round 4:
+    measured wins on every A/B'd scene (ROUND4_ONECLAIM.json: bunny +5.3%,
+    shadows +2.5%, cubes +2.6%, and the best overall config with SUB=8 at
+    7.324 ms). RPT_PAIR=0 disables; read at trace time (A/B via one process
+    per mode, like RPT_SHADOW_CULL)."""
+    return os.environ.get("RPT_PAIR", "1").strip() != "0"
 
 
 def _mask_invalid_lanes(d, o, valid):

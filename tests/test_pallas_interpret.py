@@ -286,7 +286,7 @@ def test_pair_mode_chunk_economy(monkeypatch):
             debug_iters=True)
         return np.asarray(out[-1])
 
-    monkeypatch.delenv("RPT_PAIR", raising=False)
+    monkeypatch.setenv("RPT_PAIR", "0")  # pairing is default-on since r4
     mesh_kernels.shared_nearest_hit.clear_cache()
     single = iters()
     monkeypatch.setenv("RPT_PAIR", "1")
@@ -309,8 +309,7 @@ def test_order2_matches_jnp(s2, pair, monkeypatch, reference_root):
     RPT_PAIR (dead-slot skip between the pair halves + the clamped dead
     tail)."""
     monkeypatch.setenv("RPT_ORDER2", str(s2))
-    if pair:
-        monkeypatch.setenv("RPT_PAIR", "1")
+    monkeypatch.setenv("RPT_PAIR", "1" if pair else "0")
     from relativitypathtracer_tpu.ops.pallas import mesh_kernels
 
     assert mesh_kernels._order2_s() == s2  # knob actually engaged
