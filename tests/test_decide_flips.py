@@ -4,6 +4,7 @@ texprobe, and missing steps read as NO DATA (budget-truncated sequences must
 never produce a flip recommendation)."""
 
 import importlib
+import json
 import sys
 from pathlib import Path
 
@@ -59,12 +60,18 @@ def test_windowed_needs_exact_texprobe():
 
 
 def test_ab_matrix_names_exist_in_sequence():
-    """Every step name the decision rules reference must actually be
-    produced by tools/round4_one_claim.py, or a recovery run yields
-    NO DATA rows for real measurements."""
-    src = (Path(__file__).resolve().parents[1]
-           / "tools" / "round4_one_claim.py").read_text()
+    """Every step name the decision rules reference must be produced by a
+    sequence tool (round4_one_claim / round4_followup), or -- for the
+    pre-flip generation whose steps were renamed after the defaults
+    changed -- exist in the LANDED round-4 artifact; otherwise a recovery
+    run yields NO DATA rows for real measurements."""
+    repo = Path(__file__).resolve().parents[1]
+    src = ((repo / "tools" / "round4_one_claim.py").read_text()
+           + (repo / "tools" / "round4_followup.py").read_text())
+    landed = repo / "ROUND4_ONECLAIM.json"
+    landed_steps = (json.loads(landed.read_text()).get("steps", {})
+                    if landed.exists() else {})
     for pairs in decide_flips.AB_MATRIX.values():
         for base, ab in pairs:
-            assert f'"{base}"' in src, base
-            assert f'"{ab}"' in src, ab
+            for name in (base, ab):
+                assert f'"{name}"' in src or name in landed_steps, name

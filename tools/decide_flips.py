@@ -42,6 +42,15 @@ AB_MATRIX = {
     "RPT_PAIR=1 + RPT_SUB=8": [("bunny", "bunny_pair_sub8")],
     "windowed texture (WINDOWED_PROVEN)": [
         ("arch", "arch_windowed"), ("cubes", "cubes_windowed")],
+    # Post-flip generation (pairing + SUB=8 became the default after the
+    # first landed claim): reruns of round4_one_claim A/B the OTHER
+    # direction of each flipped knob. A FLIP verdict here means "revert
+    # the r4 default". Entries whose steps are absent are skipped.
+    "RPT_PAIR=0 (pairing default ON since r4)": [
+        ("bunny", "bunny_nopair"), ("shadows", "shadows_nopair"),
+        ("cubes", "cubes_nopair")],
+    "RPT_SUB=4 (default 8 since r4)": [("bunny", "bunny_sub4")],
+    "RPT_SUB=16 (default 8 since r4)": [("bunny", "bunny_sub16")],
 }
 
 
@@ -94,6 +103,8 @@ def main(argv: list[str]) -> int:
     print(f"artifact: {path} (platform {art.get('platform')}, "
           f"version {art.get('version')}, {art.get('resolution')})")
     for d in decide(art):
+        if all(ab is None for _, _, _, ab in d["rows"]):
+            continue  # knob generation not present in this artifact
         print(f"\n{d['knob']}: {d['verdict']}")
         for base_name, base, ab_name, ab in d["rows"]:
             fmt = lambda v: f"{v:.3f} ms" if v is not None else "missing"

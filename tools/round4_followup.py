@@ -157,6 +157,11 @@ def main() -> None:
     step("shadows_cull_none", 120, lambda: frametime("shadows"))
     reconfig(RPT_SHADOW_CULL=None)
 
+    # ---- does the SUB win extend? 16 = 8x8-lane strips, 4x cull flops ----
+    reconfig(RPT_SUB="16")
+    step("bunny_sub16", 120, lambda: frametime("bunny"))
+    reconfig(RPT_SUB=None)
+
     # ---- device-side interactive capability (960x540, the INTERACT res) ----
     def device_fps():
         ms = frametime("bunny", w=960, h=540)

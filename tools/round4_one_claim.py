@@ -269,18 +269,20 @@ def main() -> None:
                          RPT_ORDER2=None)
         step(name, 240, run)
 
+    # Since the round-4 flips, ambient defaults ARE pairing + SUB=8: the
+    # unsuffixed baseline steps above measure that config, and the A/Bs
+    # below measure each knob's OTHER direction explicitly (RPT_PAIR=0 /
+    # RPT_SUB=4 are the escapes; decide_flips reads these names).
     ab("bunny_cull_none", "bunny", RPT_SHADOW_CULL="none")
     ab("shadows_cull_none", "shadows", RPT_SHADOW_CULL="none")
-    ab("bunny_pair", "bunny", RPT_PAIR="1")
-    ab("shadows_pair", "shadows", RPT_PAIR="1")
+    ab("bunny_nopair", "bunny", RPT_PAIR="0")
+    ab("shadows_nopair", "shadows", RPT_PAIR="0")
     ab("bunny_order2", "bunny", RPT_ORDER2="8")
     ab("shadows_order2", "shadows", RPT_ORDER2="8")
-    ab("bunny_order2_pair", "bunny", RPT_ORDER2="8", RPT_PAIR="1")
-    ab("cubes_pair", "cubes", RPT_PAIR="1")  # analytic-kernel pairing
+    ab("cubes_nopair", "cubes", RPT_PAIR="0")  # analytic-kernel pairing
     ab("cubes_abound", "cubes", RPT_ABOUND="1")  # sky-lane walk-bound pre-pass
-    ab("cubes_pair_abound", "cubes", RPT_PAIR="1", RPT_ABOUND="1")
-    ab("bunny_pair_sub8", "bunny", RPT_PAIR="1", RPT_SUB="8")
-    ab("bunny_sub8", "bunny", RPT_SUB="8")
+    ab("bunny_sub4", "bunny", RPT_SUB="4")
+    ab("bunny_sub16", "bunny", RPT_SUB="16")
 
     # ================= WEDGE-RISK BOUNDARY =================
     # Everything below exercises the windowed Morton texture kernel (the
