@@ -108,11 +108,14 @@ def _pair_mode() -> bool:
     loop iterations and their fixed scalar overhead (SMEM order/floor reads,
     bound reduction, trip bookkeeping). The pair is exact: the second chunk
     of a pair may execute one step past the early-termination bound, which
-    can only ADD candidate hits that lose the min. Default ON since round 4:
-    measured wins on every A/B'd scene (ROUND4_ONECLAIM.json: bunny +5.3%,
-    shadows +2.5%, cubes +2.6%, and the best overall config with SUB=8 at
-    7.324 ms). RPT_PAIR=0 disables; read at trace time (A/B via one process
-    per mode, like RPT_SHADOW_CULL)."""
+    can only ADD candidate hits that lose the min. Default ON since round 4
+    on the basis of the COMBINED RPT_PAIR=1 + RPT_SUB=8 A/B
+    (ROUND4_ONECLAIM.json: bunny 7.996 -> 7.324 ms, +8.4% -- the only
+    pairing config decide_flips marked FLIP). Standalone pairing wins
+    (bunny +5.3%, shadows +2.5%, cubes +2.6%) sat at/below the 3% relay
+    noise floor and would not alone have flipped the default. RPT_PAIR=0
+    disables; read at trace time (A/B via one process per mode, like
+    RPT_SHADOW_CULL)."""
     return os.environ.get("RPT_PAIR", "1").strip() != "0"
 
 

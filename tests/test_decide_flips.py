@@ -4,7 +4,6 @@ texprobe, and missing steps read as NO DATA (budget-truncated sequences must
 never produce a flip recommendation)."""
 
 import importlib
-import json
 import sys
 from pathlib import Path
 
@@ -28,7 +27,7 @@ def test_uniform_win_flips():
         "bunny": 6.0, "bunny_pair": 5.0,
         "shadows": 6.0, "shadows_pair": 5.5,
         "cubes": 4.0, "cubes_pair": 3.5}))
-    assert _verdict(res, "RPT_PAIR=1") == "FLIP"
+    assert _verdict(res, "RPT_PAIR=1 (pre-flip)") == "FLIP"
 
 
 def test_mixed_result_keeps_default():
@@ -36,17 +35,18 @@ def test_mixed_result_keeps_default():
         "bunny": 6.0, "bunny_pair": 5.0,
         "shadows": 6.0, "shadows_pair": 6.1,  # loses here
         "cubes": 4.0, "cubes_pair": 3.5}))
-    assert _verdict(res, "RPT_PAIR=1") == "KEEP"
+    assert _verdict(res, "RPT_PAIR=1 (pre-flip)") == "KEEP"
 
 
 def test_small_win_is_noise():
     res = decide_flips.decide(_art({"bunny": 6.0, "bunny_sub8": 5.9}))
-    assert _verdict(res, "RPT_SUB=8") == "KEEP"  # 1.7% < 3% margin
+    # 1.7% < 3% margin
+    assert _verdict(res, "RPT_SUB=8 (pre-flip)") == "KEEP"
 
 
 def test_missing_step_is_no_data():
     res = decide_flips.decide(_art({"bunny": 6.0}))
-    assert _verdict(res, "RPT_PAIR=1") == "NO DATA"
+    assert _verdict(res, "RPT_PAIR=1 (pre-flip)") == "NO DATA"
 
 
 def test_windowed_needs_exact_texprobe():
@@ -60,18 +60,29 @@ def test_windowed_needs_exact_texprobe():
 
 
 def test_ab_matrix_names_exist_in_sequence():
-    """Every step name the decision rules reference must be produced by a
-    sequence tool (round4_one_claim / round4_followup), or -- for the
-    pre-flip generation whose steps were renamed after the defaults
-    changed -- exist in the LANDED round-4 artifact; otherwise a recovery
-    run yields NO DATA rows for real measurements."""
+    """Every step name the CURRENT decision rules reference must be produced
+    by a sequence tool, otherwise a recovery run yields NO DATA rows for
+    real measurements. The pre-flip generation lives in the frozen
+    LEGACY_AB_MATRIX (its names exist only in the landed 2026-08-19
+    artifact) and is deliberately exempt -- test truth must not depend on
+    regenerable artifact contents (ADVICE r4, medium)."""
     repo = Path(__file__).resolve().parents[1]
-    src = ((repo / "tools" / "round4_one_claim.py").read_text()
-           + (repo / "tools" / "round4_followup.py").read_text())
-    landed = repo / "ROUND4_ONECLAIM.json"
-    landed_steps = (json.loads(landed.read_text()).get("steps", {})
-                    if landed.exists() else {})
+    src = "".join(
+        (repo / "tools" / t).read_text()
+        for t in ("round4_one_claim.py", "round4_followup.py",
+                  "round5_claim.py")
+        if (repo / "tools" / t).exists())
     for pairs in decide_flips.AB_MATRIX.values():
         for base, ab in pairs:
             for name in (base, ab):
-                assert f'"{name}"' in src or name in landed_steps, name
+                assert f'"{name}"' in src, name
+
+
+def test_legacy_matrix_is_frozen():
+    """The legacy names must never migrate back into AB_MATRIX (they are
+    not producible by any current tool)."""
+    legacy_steps = {n for pairs in decide_flips.LEGACY_AB_MATRIX.values()
+                    for pair in pairs for n in pair if "_" in n}
+    current_steps = {n for pairs in decide_flips.AB_MATRIX.values()
+                     for pair in pairs for n in pair}
+    assert not legacy_steps & current_steps

@@ -89,12 +89,17 @@ def test_multimesh_batched_lowers_for_tpu(reference_root, real_kernels):
 
 
 @pytest.mark.parametrize("env", [
-    {"RPT_PAIR": "1"},
+    # Cover the directions the sequence tools actually flip on a relay
+    # claim (revert directions vs the r4 PAIR/SUB defaults + the SUB=16
+    # probe), not the defaults the base tests already exercise (ADVICE r4).
+    {"RPT_PAIR": "0"},
     {"RPT_ORDER2": "8"},
-    {"RPT_ORDER2": "8", "RPT_PAIR": "1"},
+    {"RPT_ORDER2": "8", "RPT_PAIR": "0"},
     {"RPT_SHADOW_CULL": "none"},
     {"RPT_SHADOW_CULL": "tmax"},
     {"RPT_ABOUND": "1"},
+    {"RPT_SUB": "4"},
+    {"RPT_SUB": "16"},
 ])
 def test_knob_combos_lower_for_tpu(env, reference_root, real_kernels,
                                    monkeypatch):
@@ -103,6 +108,10 @@ def test_knob_combos_lower_for_tpu(env, reference_root, real_kernels,
     relay claim to discover."""
     for k, v in env.items():
         monkeypatch.setenv(k, v)
+    if "RPT_SUB" in env:  # module constant, read at import time
+        from relativitypathtracer_tpu.ops.pallas import mesh_kernels
+
+        monkeypatch.setattr(mesh_kernels, "SUB", int(env["RPT_SUB"]))
     clear_kernel_caches()
     scene, meta = _scene(reference_root, "shadows")
     try:

@@ -87,12 +87,17 @@ def test_scene_kernels_fit_vmem(name, reference_root):
 
 
 @pytest.mark.parametrize("env", [
-    {"RPT_PAIR": "1"},
+    # PAIR=1 / SUB=8 are the r4 defaults (covered by the base scene tests);
+    # cover the directions the sequence tools actually A/B on a precious
+    # relay claim instead (ADVICE r4): revert directions + the SUB=16 probe.
+    {"RPT_PAIR": "0"},
     {"RPT_ORDER2": "8"},
-    {"RPT_ORDER2": "8", "RPT_PAIR": "1"},
+    {"RPT_ORDER2": "8", "RPT_PAIR": "0"},
     {"RPT_SHADOW_CULL": "tmax"},
+    {"RPT_SHADOW_CULL": "none"},
     {"RPT_ABOUND": "1"},
-    {"RPT_SUB": "8"},
+    {"RPT_SUB": "4"},
+    {"RPT_SUB": "16"},
 ])
 def test_knob_combo_kernels_fit_vmem(env, reference_root, monkeypatch):
     if "RPT_SUB" in env:

@@ -26,31 +26,45 @@ import sys
 
 MARGIN = 0.03  # fractional win required to flip (3%; relay noise floor)
 
-# knob -> list of (baseline_step, knob_step) pairs it was A/B'd on
+# knob -> list of (baseline_step, knob_step) pairs it was A/B'd on.
+# Names here must be produced by a current sequence tool
+# (test_decide_flips.test_ab_matrix_names_exist_in_sequence).
 AB_MATRIX = {
     "RPT_SHADOW_CULL=none (default boxfar)": [
         ("bunny", "bunny_cull_none"), ("shadows", "shadows_cull_none")],
-    "RPT_PAIR=1": [
-        ("bunny", "bunny_pair"), ("shadows", "shadows_pair"),
-        ("cubes", "cubes_pair")],
     "RPT_ORDER2=8": [
         ("bunny", "bunny_order2"), ("shadows", "shadows_order2")],
-    "RPT_ORDER2=8 + RPT_PAIR=1": [("bunny", "bunny_order2_pair")],
     "RPT_ABOUND=1": [("cubes", "cubes_abound")],
-    "RPT_PAIR=1 + RPT_ABOUND=1": [("cubes", "cubes_pair_abound")],
-    "RPT_SUB=8": [("bunny", "bunny_sub8")],
-    "RPT_PAIR=1 + RPT_SUB=8": [("bunny", "bunny_pair_sub8")],
     "windowed texture (WINDOWED_PROVEN)": [
         ("arch", "arch_windowed"), ("cubes", "cubes_windowed")],
     # Post-flip generation (pairing + SUB=8 became the default after the
     # first landed claim): reruns of round4_one_claim A/B the OTHER
-    # direction of each flipped knob. A FLIP verdict here means "revert
-    # the r4 default". Entries whose steps are absent are skipped.
+    # direction of each flipped knob. For RPT_PAIR=0 / RPT_SUB=4 a FLIP
+    # verdict means "revert the r4 default" (back to no-pairing / SUB=4).
     "RPT_PAIR=0 (pairing default ON since r4)": [
         ("bunny", "bunny_nopair"), ("shadows", "shadows_nopair"),
         ("cubes", "cubes_nopair")],
     "RPT_SUB=4 (default 8 since r4)": [("bunny", "bunny_sub4")],
-    "RPT_SUB=16 (default 8 since r4)": [("bunny", "bunny_sub16")],
+    # RPT_SUB=16 is a NEW direction, not a revert: a FLIP here means
+    # RAISE the default to 16 (8x8-lane cones), not go back to 4.
+    "RPT_SUB=16 (default 8 since r4; FLIP = adopt 16)": [
+        ("bunny", "bunny_sub16")],
+}
+
+# Pre-flip generation, frozen: these step names were produced by the
+# round4_one_claim.py that ran BEFORE the PAIR/SUB defaults flipped, and
+# exist only in the landed ROUND4_ONECLAIM.json of 2026-08-19. They are the
+# measured basis for the r4 defaults (PAIR+SUB8: bunny 7.996 -> 7.324 ms,
+# +8.4%) and are exempt from the source-name check; a rerun of the current
+# tools will not regenerate them and their rows simply read as absent.
+LEGACY_AB_MATRIX = {
+    "RPT_PAIR=1 (pre-flip)": [
+        ("bunny", "bunny_pair"), ("shadows", "shadows_pair"),
+        ("cubes", "cubes_pair")],
+    "RPT_ORDER2=8 + RPT_PAIR=1 (pre-flip)": [("bunny", "bunny_order2_pair")],
+    "RPT_PAIR=1 + RPT_ABOUND=1 (pre-flip)": [("cubes", "cubes_pair_abound")],
+    "RPT_SUB=8 (pre-flip)": [("bunny", "bunny_sub8")],
+    "RPT_PAIR=1 + RPT_SUB=8 (pre-flip)": [("bunny", "bunny_pair_sub8")],
 }
 
 
@@ -68,7 +82,7 @@ def decide(art: dict) -> list[dict]:
     tex_exact = isinstance(tex.get("max_diff"), (int, float)) \
         and tex["max_diff"] < 1e-5
     out = []
-    for knob, pairs in AB_MATRIX.items():
+    for knob, pairs in {**AB_MATRIX, **LEGACY_AB_MATRIX}.items():
         rows, any_missing, any_loss = [], False, False
         for base_name, ab_name in pairs:
             base, ab = _ms(steps, base_name), _ms(steps, ab_name)

@@ -137,7 +137,10 @@ def main() -> None:
             else:
                 os.environ[k] = str(v)
         if "RPT_SUB" in env:  # module constant, read at import time
-            mesh_kernels.SUB = int(env["RPT_SUB"] or 4)
+            # env=None restores the r4 default (8), matching the module's
+            # import-time fallback -- a stale `or 4` here confounded every
+            # post-restore A/B at SUB=4 (ADVICE r4, high).
+            mesh_kernels.SUB = int(env["RPT_SUB"] or 8)
         from relativitypathtracer_tpu.ops.pallas import (
             analytic_kernels, mesh_batch)
 
