@@ -225,7 +225,8 @@ def main():
     })
 
     # Per-scene frame times (VERDICT r3 items 2/6): arch + cubes (the
-    # windowed-texture scenes) and folded-MSAA sublinearity on bunny. Each
+    # windowed-texture scenes) and folded-MSAA scaling on bunny (measured
+    # r4: ~1.1-1.2x linear in samples, not sublinear). Each
     # entry is a p50 over 36 chained frames through the already-warm process;
     # budget-guarded so a slow run degrades to missing entries, not a wedge.
     frametimes = {}

@@ -28,6 +28,7 @@ shadow chain, tonemap) mirror trace()/intersect_scene()/sample_light()
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -447,9 +448,15 @@ def msaa_swizzle(dirs_samples, ph, pw, m):
     1024-lane kernel block covers a (32/m)^2-pixel patch WITH ALL ITS
     SAMPLES (sample index minor), split into four 256-lane quadrants. The
     per-pixel samples are near-identical rays, so block/sub-cones stay as
-    tight as (or tighter than) the msaa=1 tiles and traversal work grows
-    sublinearly in the sample count -- unlike the sequential per-sample
-    loop, which re-ran the whole pipeline msaa^2 times.
+    tight as (or tighter than) the msaa=1 tiles.
+
+    Measured reality (round 4 on-chip, BENCH_r04.json/ROUND4_ONECLAIM.json):
+    total cost is ~1.1-1.2x LINEAR in the sample count (msaa=2: 35.7-39.4 ms
+    vs 4 x 7.42 ms; msaa=4: 129.8-137.3 ms vs 16 x 7.42 ms) -- the walk is
+    ray-bound, so sharing cull/cone work across samples does not buy
+    sublinearity. The fold's remaining value vs the sequential per-sample
+    loop (msaa^2 full pipelines; RPT_MSAA_FOLD=0 forces it for A/B) is
+    measured on-chip, not assumed (round-5 A/B artifact).
 
     dirs_samples: (m*m, ph, pw, 3). Returns (3, ph*pw*m*m).
     """
@@ -496,7 +503,12 @@ def build_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
     # own frame; boosts happen per object): precompute them once, already
     # swizzled, and close over the device constant.
     dirs = camera_ray_dirs(width, height, msaa, pad_width=pw, pad_height=ph)
-    folded = msaa in (2, 4, 8, 16)  # patch swizzle needs msaa | 32, patch >= 2
+    # Patch swizzle needs msaa | 32, patch >= 2. RPT_MSAA_FOLD=0 (trace-time)
+    # forces the sequential per-sample loop instead, for the on-chip
+    # folded-vs-loop A/B (round-4 measurement showed folding is ~linear in
+    # samples; the loop is the reference's structure, opencl_kernel.cl:642-648).
+    folded = (msaa in (2, 4, 8, 16)
+              and os.environ.get("RPT_MSAA_FOLD", "1").strip() != "0")
     if msaa == 1:
         dirs_const = jax.device_put(
             tile_swizzle(dirs.reshape(-1, 3).T, ph, pw)[None])

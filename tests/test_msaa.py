@@ -75,3 +75,27 @@ def test_real_msaa_close_to_single(reference_root):
     assert four.shape == one.shape
     assert np.abs(four - one).mean() < 0.02  # only edge pixels differ
     assert (np.abs(four - one).max(axis=-1) > 1e-3).mean() < 0.2
+
+
+def test_loop_mode_matches_folded(reference_root, monkeypatch):
+    """RPT_MSAA_FOLD=0 (the reference-style sequential per-sample loop,
+    opencl_kernel.cl:642-648) must produce the same image as the folded
+    path: the fold is a layout/scheduling choice only. This is the
+    exactness guard for the round-5 on-chip fold-vs-loop A/B."""
+    host = load_scene_file(str(reference_root / "Scenes" / "cube.txt"))
+    scene, meta = build_scene(host)
+    state = FrameState.initial()
+    W, H = 96, 64
+    build_render_fn.cache_clear()
+    folded = np.asarray(
+        build_render_fn(meta, W, H, meta.default_interval, 2)(scene, state))
+    monkeypatch.setenv("RPT_MSAA_FOLD", "0")
+    build_render_fn.cache_clear()
+    try:
+        loop = np.asarray(
+            build_render_fn(meta, W, H, meta.default_interval, 2)(scene, state))
+    finally:
+        # the lru cache would otherwise keep a loop-mode renderer under the
+        # (meta, W, H, 2) key after the env restore and poison later tests
+        build_render_fn.cache_clear()
+    np.testing.assert_allclose(loop, folded, atol=2e-6)
