@@ -7,11 +7,17 @@
 # On a live claim, wait for the sequence, then run bench.py (fresh claim,
 # warm compile cache) so the full evidence chain lands unattended.
 # Usage: nohup bash tools/claim_loop.sh [INTERVAL] [GRACE] &
+# Round-5 reuse: the sequence script / artifact / post-bench are env-
+# parameterized (defaults preserve the round-4 invocation):
+#   CLAIM_SCRIPT=tools/round5_claim.py CLAIM_ART=ROUND5_CLAIM1.json \
+#   RUN_BENCH=0 nohup bash tools/claim_loop.sh 600 300 2700 &
 cd "$(dirname "$0")/.." || exit 1
 INTERVAL=${1:-600}
 GRACE=${2:-300}
 BUDGET=${3:-5400}   # per-attempt one-claim step budget (seconds)
-ART=ROUND4_ONECLAIM.json
+SCRIPT=${CLAIM_SCRIPT:-tools/round4_one_claim.py}
+ART=${CLAIM_ART:-ROUND4_ONECLAIM.json}
+RUN_BENCH=${RUN_BENCH:-1}
 # If this loop is torn down (session end), take the in-flight attempt AND
 # our own bench with it: an orphaned process blocked in PJRT creation (or a
 # deadline-less bench -- it deliberately has no `timeout` wrapper, see below)
@@ -64,7 +70,7 @@ while true; do
   probe_ok && echo "$(date +%H:%M:%S) PORT PROBE LIVE (8082/8083 accepting)" >> /tmp/relay_status
   last_full=$(date +%s)
   start=$(date +%s)
-  timeout 7500 python tools/round4_one_claim.py "$BUDGET" > /tmp/oneclaim4.log 2>&1 &
+  timeout 7500 python "$SCRIPT" "$BUDGET" > /tmp/oneclaim4.log 2>&1 &
   pid=$!
   echo $pid > /tmp/oneclaim4.pid
   echo "$(date +%H:%M:%S) launched one-claim pid $pid" >> /tmp/relay_status
@@ -97,6 +103,7 @@ while true; do
     wait "$pid"
     echo "$(date +%H:%M:%S) one-claim exited rc=$?" >> /tmp/relay_status
     foreign_bench && exit 0
+    [ "$RUN_BENCH" = "0" ] && exit 0
     # No `timeout` wrapper here: the python process must BE $bench_pid so
     # foreign_bench can exclude it; the poll loop enforces the deadline.
     python bench.py > /tmp/bench_r04_live.json 2>/tmp/bench_r04_live.log &
