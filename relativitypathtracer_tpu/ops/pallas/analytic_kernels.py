@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import ray_vma
+
 EPSILON = 1e-7
 INF = 1e20
 NB = 1024  # rays per block (matches the mesh kernels' screen-tile blocks)
@@ -504,11 +506,11 @@ def analytic_nearest_shared(params, dir4, n_spheres: int, n_cubes: int,
         ],
         out_specs=(row, row, row, vec3, vec3),
         out_shape=(
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32, vma=ray_vma(dir4_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32, vma=ray_vma(dir4_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32, vma=ray_vma(dir4_p)),
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32, vma=ray_vma(dir4_p)),
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32, vma=ray_vma(dir4_p)),
         ),
         interpret=interpret,
     )(os_, ms_, cs_, oc_, mc_, cc_, params, dir4_p)
@@ -634,7 +636,8 @@ def analytic_min_t_general(params, origins4, dir4, n_spheres: int, n_cubes: int,
             pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32,
+                                        vma=ray_vma(o4_p, dir4_p, tmax_p)),
         interpret=interpret,
     )(os_, ms_, cs_, oc_, mc_, cc_, params, o4_p, dir4_p, tmax_p)
     return t[0, :n]

@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import ray_vma
+
 from .mesh_kernels import (
     INF, NB, TC, N_ATTR, _mt_mask, _pair_mode, _round_up, _safe_inv,
     _shadow_cull_mode, _sub_cone_cull, bucket_order, chunk_interleave,
@@ -352,12 +354,13 @@ def batched_nearest_shared(consts, attrs, spheres, boxes, mats, dir4,
         out_specs=(out_vec, out_vec, out_vec, out_vec, out_vec,
                    pl.BlockSpec((N_ATTR, NB), lambda i: (0, i), memory_space=pltpu.VMEM)),
         out_shape=(
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((N_ATTR, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32, vma=ray_vma(dir4_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32, vma=ray_vma(dir4_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32, vma=ray_vma(dir4_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32, vma=ray_vma(dir4_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32, vma=ray_vma(dir4_p)),
+            jax.ShapeDtypeStruct((N_ATTR, n_pad), jnp.float32,
+                                 vma=ray_vma(dir4_p)),
         ),
         scratch_shapes=[pltpu.VMEM((ROWS_SH * O, NB), jnp.float32)],
         interpret=interpret,
@@ -518,7 +521,8 @@ def batched_min_t_general(cols, spheres, mats, origins4, dir4,
             pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32,
+                                        vma=ray_vma(o4_p, dir4_p, tmax_p)),
         scratch_shapes=[pltpu.VMEM((ROWS_GEN * O, NB), jnp.float32)],
         interpret=interpret,
     )(order, minds, counts, cobj, boxes, mats, cols, o4_p, dir4_p, tmax_p)

@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import ray_vma
+
 EPSILON = 1e-7
 INF = 1e20
 NB = 1024  # rays per block; VMEM budget ~6 (Tc, NB) f32 intermediates
@@ -621,11 +623,13 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False,
                    out_vec, out_vec, out_vec,
                    pl.BlockSpec((N_ATTR, NB), lambda i: (0, i), memory_space=pltpu.VMEM)),
         out_shape=(
-            jax.ShapeDtypeStruct((t_rows, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((N_ATTR, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((t_rows, n_pad), jnp.float32,
+                                 vma=ray_vma(dh_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32, vma=ray_vma(dh_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32, vma=ray_vma(dh_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32, vma=ray_vma(dh_p)),
+            jax.ShapeDtypeStruct((N_ATTR, n_pad), jnp.float32,
+                                 vma=ray_vma(dh_p)),
         ),
         interpret=interpret,
     )(*list_args[:3], box, consts, attrs, dh_p, *list_args[3:])
@@ -852,7 +856,8 @@ def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, valid=None,
         out_specs=pl.BlockSpec((2 if debug_iters else 1, NB),
                                lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2 if debug_iters else 1, n_pad),
-                                       jnp.float32),
+                                       jnp.float32,
+                                       vma=ray_vma(r10_p, tmax_p)),
         interpret=interpret,
     )(order, minds, counts, box, cols_grouped, r10_p, tmax_p,
       *((bits,) if s2 else ()))

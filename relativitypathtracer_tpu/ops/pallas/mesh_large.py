@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import ray_vma
+
 from .mesh_kernels import (
     INF, NB, TC, N_ATTR, _mt_mask, _round_up, _safe_inv,
     _walk_scaffold, live_chunk_lists2, split_bf16,
@@ -291,11 +293,12 @@ def large_shared_nearest_hit(consts_rec, attrs_split, spheres,
         out_specs=(out_vec, out_vec, out_vec, out_vec,
                    pl.BlockSpec((N_ATTR, NB), lambda i: (0, i), memory_space=pltpu.VMEM)),
         out_shape=(
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((N_ATTR, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32, vma=ray_vma(dh_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32, vma=ray_vma(dh_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32, vma=ray_vma(dh_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32, vma=ray_vma(dh_p)),
+            jax.ShapeDtypeStruct((N_ATTR, n_pad), jnp.float32,
+                                 vma=ray_vma(dh_p)),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, REC_SH, 128), jnp.float32),
@@ -434,7 +437,8 @@ def large_general_min_t(cols_rec, spheres, r10, tmax_obj=None,
             pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32,
+                                        vma=ray_vma(r10_p, tmax_p)),
         scratch_shapes=[
             pltpu.VMEM((2, REC_GEN, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import ray_vma
+
 INF = 1e20
 NB = 1024
 MROWS = 40  # per-object matrix table rows: L(16) + invL(16) + stat_cam(4) + pad
@@ -149,11 +151,16 @@ def shadow_chain(mats, light_row, dir4, t, normal, obj, interval: int,
         ],
         out_specs=(out4, out3, row, row, row),
         out_shape=(
-            jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((4, n_pad), jnp.float32,
+                                 vma=ray_vma(dir4_p, t_p)),
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32,
+                                 vma=ray_vma(dir4_p, t_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32,
+                                 vma=ray_vma(dir4_p, t_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32,
+                                 vma=ray_vma(dir4_p, t_p)),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32,
+                                 vma=ray_vma(dir4_p, t_p)),
         ),
         interpret=interpret,
     )(light_row, mats, dir4_p, t_p, nrm_p, obj_p)

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import ray_vma
+
 from ..texture_layout import tile_slot
 
 NB = 1024  # rays per block (matches the mesh kernels' tile-major blocks)
@@ -128,7 +130,8 @@ def footprint_sample_small(quads, fp, width, height, uv, interpret=False):
             pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32,
+                                       vma=ray_vma(ai_p, af_p)),
         interpret=interpret,
     )(quads, ai_p, af_p)
     return out[:, :n]
@@ -304,7 +307,8 @@ def footprint_sample_windowed(quads, fp, width, height, uv, interpret=False):
             pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32,
+                                       vma=ray_vma(ai_p, af_p)),
         scratch_shapes=[
             pltpu.VMEM((W_GRP, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),

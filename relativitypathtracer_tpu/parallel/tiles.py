@@ -134,16 +134,18 @@ def build_sharded_render_fn(meta: SceneMeta, width: int, height: int, interval: 
         in_specs=(P(), P(), P(axis)),  # scene + state replicated; dirs sharded
         # blocks concatenate over devices; psum'd aux is replicated
         out_specs=(P(axis, None, None), P()) if with_aux else P(axis, None, None),
-        # Static replication checking is ON for the jnp path: scan/while
+        # Static replication checking is ON for the jnp path AND the
+        # compiled-pallas production route (VERDICT r4 item 9): scan/while
         # carries initialized from constants inside ops.mesh_intersect are
-        # pcast to the rays' varying axes (ops.mesh_intersect._vma_like), so
-        # the whole frame type-checks. pallas_call cannot pass the check in
-        # jax 0.9 (its interpret-mode grid loop initializes output buffers
-        # without vma and its kernel tracer rejects mixed replicated/varying
-        # refs -- both fail with "open an issue ... pass check_vma=False"),
-        # so kernel-routed builds fall back to the dynamic coverage in
+        # pcast to the rays' varying axes (ops.mesh_intersect._vma_like),
+        # and every pallas_call out_shape declares its vma explicitly
+        # (ops.pallas.ray_vma) as jax 0.9 requires. Only INTERPRET-mode
+        # pallas still fails upstream (hlo_interpreter evaluates the kernel
+        # body under vma rules, where ref loads mix varying/replicated --
+        # "Primitive mul requires varying manual axes to match", jax 0.9.0),
+        # so that mode alone keeps the dynamic coverage in
         # tests/test_parallel.py (sharded vs single-device bitwise equality).
-        check_vma=not _resolve_pallas(None)[0],
+        check_vma=not _resolve_pallas(None)[1],
     )
 
     inv = jnp.asarray(inv_blocks)

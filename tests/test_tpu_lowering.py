@@ -141,3 +141,23 @@ def test_msaa_lowers_for_tpu(reference_root, real_kernels):
     scene, meta = _scene(reference_root, "bunny")
     n = _lower_for_tpu(meta, scene, msaa=2)
     assert n >= 4
+
+def test_sharded_renderer_lowers_for_tpu_check_vma(reference_root,
+                                                   real_kernels):
+    """The PRODUCTION multi-chip config, statically checked: compiled
+    pallas kernels under shard_map with check_vma=True (VERDICT r4 item 9).
+    Every pallas_call out_shape must declare its vma (ops.pallas.ray_vma);
+    a kernel whose declaration goes stale fails here, on CPU CI, instead
+    of at the driver's multichip dryrun or on a chip."""
+    from jax.sharding import Mesh
+
+    from relativitypathtracer_tpu.parallel.tiles import build_sharded_render_fn
+
+    scene, meta = _scene(reference_root, "bunny")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tiles",))
+    render = build_sharded_render_fn(meta, W, H, meta.default_interval,
+                                     mesh, msaa=2, with_aux=True)
+    lowered = render.trace(scene, FrameState.initial()).lower(
+        lowering_platforms=("tpu",))
+    n = lowered.as_text().count("tpu_custom_call")
+    assert n >= 4
