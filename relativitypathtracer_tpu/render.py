@@ -450,13 +450,13 @@ def msaa_swizzle(dirs_samples, ph, pw, m):
     per-pixel samples are near-identical rays, so block/sub-cones stay as
     tight as (or tighter than) the msaa=1 tiles.
 
-    Measured reality (round 4 on-chip, BENCH_r04.json/ROUND4_ONECLAIM.json):
-    total cost is ~1.1-1.2x LINEAR in the sample count (msaa=2: 35.7-39.4 ms
-    vs 4 x 7.42 ms; msaa=4: 129.8-137.3 ms vs 16 x 7.42 ms) -- the walk is
-    ray-bound, so sharing cull/cone work across samples does not buy
-    sublinearity. The fold's remaining value vs the sequential per-sample
-    loop (msaa^2 full pipelines; RPT_MSAA_FOLD=0 forces it for A/B) is
-    measured on-chip, not assumed (round-5 A/B artifact).
+    Measured reality: the fold is ~1.1-1.2x LINEAR in the sample count
+    (round 4: msaa=2 35.7-39.4 ms vs 4 x 7.42; msaa=4 129.8-137.3 ms vs
+    16 x 7.42) and the round-5 fold-vs-loop A/B showed the sequential
+    per-sample loop BEATING it 1.44-1.48x (ROUND5_CLAIM1.json), so the
+    single-device renderer defaults to the loop (RPT_MSAA_FOLD=1 opts back
+    in). The fold remains the multi-chip msaa structure (parallel.tiles):
+    folding keeps every device's shard a whole number of kernel blocks.
 
     dirs_samples: (m*m, ph, pw, 3). Returns (3, ph*pw*m*m).
     """
@@ -503,12 +503,17 @@ def build_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
     # own frame; boosts happen per object): precompute them once, already
     # swizzled, and close over the device constant.
     dirs = camera_ray_dirs(width, height, msaa, pad_width=pw, pad_height=ph)
-    # Patch swizzle needs msaa | 32, patch >= 2. RPT_MSAA_FOLD=0 (trace-time)
-    # forces the sequential per-sample loop instead, for the on-chip
-    # folded-vs-loop A/B (round-4 measurement showed folding is ~linear in
-    # samples; the loop is the reference's structure, opencl_kernel.cl:642-648).
+    # The sequential per-sample loop (the reference's structure,
+    # opencl_kernel.cl:642-648) is the DEFAULT: the round-5 on-chip A/B
+    # measured it 1.44-1.48x faster than the fold (bunny 1024x768, msaa=2:
+    # 24.1 vs 35.7 ms; msaa=4: 89.8 vs 129.6 ms -- ROUND5_CLAIM1.json) and
+    # sublinear in samples (0.78-0.83x linear: live-list/cone work amortizes
+    # across iterations while full 32x32 tiles keep walks shorter than the
+    # fold's (32/m)^2 patches, whose blocks intersect more chunks each).
+    # RPT_MSAA_FOLD=1 (trace-time) opts back into the folded single-pass
+    # layout for A/B; patch swizzle needs msaa | 32, patch >= 2.
     folded = (msaa in (2, 4, 8, 16)
-              and os.environ.get("RPT_MSAA_FOLD", "1").strip() != "0")
+              and os.environ.get("RPT_MSAA_FOLD", "0").strip() == "1")
     if msaa == 1:
         dirs_const = jax.device_put(
             tile_swizzle(dirs.reshape(-1, 3).T, ph, pw)[None])

@@ -49,6 +49,12 @@ AB_MATRIX = {
     # RAISE the default to 16 (8x8-lane cones), not go back to 4.
     "RPT_SUB=16 (default 8 since r4; FLIP = adopt 16)": [
         ("bunny", "bunny_sub16")],
+    # MSAA fold-vs-loop (VERDICT r4 item 4): baseline is the FOLDED layout,
+    # knob is the reference-style per-sample loop. A FLIP means the loop
+    # becomes the msaa default (RPT_MSAA_FOLD flips to 0) -- which round 5
+    # measured and shipped (ROUND5_CLAIM1.json: 1.44-1.48x).
+    "MSAA per-sample loop (FLIP = loop becomes default)": [
+        ("bunny_msaa2", "bunny_msaa2_loop"), ("bunny_msaa4", "bunny_msaa4_loop")],
 }
 
 # Pre-flip generation, frozen: these step names were produced by the
