@@ -6,6 +6,11 @@ artifact; explicit RPT_PLATFORM pins (the smoke path) stay exempt."""
 import bench
 
 
+import pytest
+
+pytestmark = pytest.mark.fast  # inner-loop subset (VERDICT r4 item 8)
+
+
 def test_cpu_fallback_policy():
     # official run on cpu -> refuse
     assert bench.cpu_fallback("cpu", None)

@@ -11,6 +11,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 decide_flips = importlib.import_module("decide_flips")
 
 
+import pytest
+
+pytestmark = pytest.mark.fast  # inner-loop subset (VERDICT r4 item 8)
+
+
 def _art(steps, tex=None):
     if tex is not None:
         steps = dict(steps, texprobe={"result": {"max_diff": tex}})

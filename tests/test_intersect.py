@@ -18,6 +18,11 @@ from relativitypathtracer_tpu.ops.relmath import inverse4, trs
 EYE = jnp.eye(4)
 
 
+import pytest
+
+pytestmark = pytest.mark.fast  # inner-loop subset (VERDICT r4 item 8)
+
+
 def cols(*vecs):
     """Row-vectors -> (3, N) column layout."""
     return jnp.asarray(np.asarray(vecs, np.float32).T)

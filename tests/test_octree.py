@@ -8,6 +8,10 @@ from relativitypathtracer_tpu.models.obj_loader import read_obj
 from relativitypathtracer_tpu.models.octree import tri_box_overlap
 
 
+
+pytestmark = pytest.mark.fast  # inner-loop subset (VERDICT r4 item 8)
+
+
 @pytest.fixture(scope="module")
 def pear(reference_root):
     mesh = HostMesh()

@@ -57,6 +57,7 @@ def _soup_mesh(rng, T):
     )
 
 
+@pytest.mark.fast  # the subset's one interpret-kernel case
 def test_interpret_shared_kernel_random_soup():
     """Kernel-level equality on incoherent geometry: random soup gives wide
     ray cones and heavily-overlapping chunk buckets -- the regime where an

@@ -19,6 +19,7 @@ def test_virtual_device_count():
 
 
 @pytest.mark.parametrize("assign", ["strided", "contiguous"])
+@pytest.mark.fast  # the subset's one sharded case
 def test_sharded_matches_single_device(cube_scene, reference_root, assign):
     scene, meta = cube_scene
     W, H = 192, 96

@@ -9,6 +9,10 @@ RNG = np.random.default_rng(0)
 ETA = np.diag([-1.0, 1.0, 1.0, 1.0]).astype(np.float32)  # Minkowski metric (-+++)
 
 
+
+pytestmark = pytest.mark.fast  # inner-loop subset (VERDICT r4 item 8)
+
+
 def rand_velocity(n=1, vmax=0.95):
     v = RNG.uniform(-1, 1, size=(n, 3)).astype(np.float32)
     norm = np.linalg.norm(v, axis=-1, keepdims=True)

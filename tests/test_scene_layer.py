@@ -11,6 +11,10 @@ from relativitypathtracer_tpu.models.scene import CUBE, MESH, SPHERE, build_scen
 ALL_SCENES = ["arch", "bunny", "cube", "cubes", "ladder_paradox", "rulers", "shadows", "soccer"]
 
 
+
+pytestmark = pytest.mark.fast  # inner-loop subset (VERDICT r4 item 8)
+
+
 def test_parse_simple_scene():
     scene = dsl.parse_scene(
         """Os

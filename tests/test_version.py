@@ -9,6 +9,11 @@ import relativitypathtracer_tpu as pkg
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
+import pytest
+
+pytestmark = pytest.mark.fast  # inner-loop subset (VERDICT r4 item 8)
+
+
 def test_version_matches_pyproject():
     text = (REPO / "pyproject.toml").read_text()
     m = re.search(r'^version = "([^"]+)"', text, re.M)
