@@ -560,6 +560,62 @@ def build_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
     return jax.jit(render)
 
 
+@functools.lru_cache(maxsize=16)
+def build_viewer_render_fn(meta: SceneMeta, pad_height: int, pad_width: int,
+                           interval: int, pool: int = 1):
+    """Resolution-POLYMORPHIC live-viewer renderer (msaa=1).
+
+    Unlike build_render_fn (camera rays closed over as a device constant,
+    so every (width, height) is a distinct compile), the swizzled ray
+    directions are a TRACED ARGUMENT over a static padded grid: any logical
+    size whose 32-aligned pad fits (pad_height, pad_width) renders through
+    ONE compiled executable. A live resize then costs a host-side dirs
+    recompute + device_put (~ms) instead of a fresh XLA compile (25.4 s
+    measured on-chip in INTERACT_r04.json) -- the TPU answer to the
+    reference's instant VBO re-allocation (Render.cpp:100-119): keep the
+    compiled shape static, vary the logical content. Off-sensor padding
+    lanes render and are cropped on the host after the fetch.
+
+    pool > 1 additionally box-filters the tonemapped frame on DEVICE by
+    pool x pool before the uint8 pack: the viewer's relay fetch shrinks by
+    pool^2 (960x544: 1.57 -> 0.39 MB at pool=2), which is the wall-fps
+    lever when the per-frame image fetch dominates the loop (measured
+    ~113 ms/frame at 1.5 MB over the axon relay, INTERACT_r04).
+
+    Returns render(scene, state, dirs_t) -> (pad_h/pool, pad_w/pool, 3)
+    uint8, bottom-up; dirs_t from viewer_dirs(). Crop to the logical size
+    on the host.
+    """
+    ph, pw = int(pad_height), int(pad_width)
+    if ph % TILE or pw % TILE:
+        raise ValueError(f"pad {pw}x{ph} not {TILE}-aligned")
+    if pool not in (1, 2, 4):
+        raise ValueError(f"pool must be 1/2/4, got {pool}")
+
+    @jax.jit
+    def render(scene: Scene, state: FrameState, dirs_t):
+        with jax.default_matmul_precision("highest"):
+            L, inv_L, stat_cam = object_frames(scene.objects, state)
+            c, _aux = shade(scene, meta, L, inv_L, stat_cam, dirs_t, interval)
+            img = tonemap(tile_unswizzle(c, ph, pw).T, scene.white_point)
+            img = img.reshape(ph, pw, 3)
+            if pool > 1:
+                img = img.reshape(ph // pool, pool, pw // pool, pool,
+                                  3).mean(axis=(1, 3))
+            return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    return render
+
+
+def viewer_dirs(width: int, height: int, pad_height: int, pad_width: int):
+    """Swizzled (3, pad_h*pad_w) camera dirs for the polymorphic viewer
+    renderer: projection uses the LOGICAL size, the grid is the PAD."""
+    dirs = camera_ray_dirs(width, height, 1, pad_width=pad_width,
+                           pad_height=pad_height)
+    return jax.device_put(
+        tile_swizzle(jnp.asarray(dirs).reshape(-1, 3).T, pad_height, pad_width))
+
+
 def render_frame(scene: Scene, meta: SceneMeta, state: FrameState,
                  width: int, height: int, interval: int | None = None, msaa: int = 1):
     """Convenience single-frame entry point."""

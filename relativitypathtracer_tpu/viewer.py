@@ -10,10 +10,14 @@ i interval toggle). Here the same interaction surface is split TPU-first:
   and the pure SimState; `frame(keys, now_s)` steps the state exactly like
   the reference's render() callback (frame_ms from a wall clock,
   Render.cpp:89-98) and returns a display-ready top-down uint8 frame.
-  Resolution and interval are jit-static, so resize / 'i' swap compiled
-  renderers (lru-cached: each (size, interval) compiles once per process --
-  the live-viewer answer to the reference's VBO re-allocation on resize,
-  Render.cpp:100-119).
+  The live renderer is resolution-POLYMORPHIC (render.build_viewer_render_fn:
+  camera dirs are a traced argument over a static padded grid), so a resize
+  is a host-side dirs recompute (~ms) -- the real TPU answer to the
+  reference's instant VBO re-allocation (Render.cpp:100-119); round 4's
+  per-size compiles cost 25.4 s on the first resize (INTERACT_r04.json).
+  The 'i' interval toggle swaps between renderers preloaded at startup.
+  stream_scale > 1 fetches a device-downsampled frame (bytes / scale^2),
+  the wall-fps lever when the relay image fetch dominates the loop.
 - run_window(): a pygame window frontend (needs a display).
 - run_web(): a zero-dependency localhost MJPEG streamer (stdlib http.server
   + PIL JPEG) with browser key capture -- the headless fallback, so the
@@ -51,13 +55,21 @@ class ViewerCore:
     story). All times are seconds.
     """
 
-    def __init__(self, host_scene, width: int, height: int, msaa: int = 1):
+    def __init__(self, host_scene, width: int, height: int, msaa: int = 1,
+                 stream_scale: int = 1):
         from .models.scene import build_scene
         from .utils.framestate import SimState
 
         self.scene, self.meta = build_scene(host_scene)
         self.width, self.height = int(width), int(height)
         self.msaa = int(msaa)
+        self.stream_scale = int(stream_scale)
+        # msaa=1 (the interactive default) uses the resolution-POLYMORPHIC
+        # renderer: camera dirs are a traced argument over a static padded
+        # grid, so a resize recomputes dirs on the host (~ms) instead of
+        # recompiling (25.4 s first-resize measured in INTERACT_r04.json).
+        # msaa>1 keeps the per-size compiled path.
+        self._poly = self.msaa == 1
         self.sim = SimState.initial(self.meta.default_interval)
         self._prev_t: float | None = None
         self.compiling = False  # surfaced in stats while a renderer builds
@@ -66,6 +78,12 @@ class ViewerCore:
         self._pending = None  # one-frame device pipeline (see frame())
         self._pending_resize = None  # set by request_resize, applied in frame()
         self._warmed: set = set()
+        if self._poly:
+            from .render import TILE, _round_up, viewer_dirs
+
+            self._pad = (_round_up(self.height, TILE),
+                         _round_up(self.width, TILE))
+            self._dirs = viewer_dirs(self.width, self.height, *self._pad)
         # Warm the whole interactive path now, not on first use: jit compiles
         # on first CALL. Un-warmed, the first keypress stalls the loop for
         # seconds (worse over a device relay) while stats keep serving
@@ -74,6 +92,14 @@ class ViewerCore:
         # just produces a realistic moved state for the warm render below.
         # Keys order: w a s d q e r space i.
         self._get_render(self.sim.interval)
+        if self._poly:
+            # Preload the 'i' toggle's interval cycle (default -> 0 -> -1 ->
+            # 0 ...; utils.framestate.step) so the toggle never stalls the
+            # loop either: with resize already compile-free, the interval
+            # pair is the whole remaining (size, interval) preload matrix.
+            for iv in (0, -1):
+                if iv != int(self.sim.interval):
+                    self._get_render(iv)
         from .utils.framestate import step
 
         warm = step(self.sim, [False] * 7 + [True, False], 16.0)
@@ -82,39 +108,64 @@ class ViewerCore:
         # ...and render once with a stepped state: its fields are eager jax
         # arrays (vs the initial numpy ones), so this absorbs any avals-
         # difference recompile that would otherwise hit the first keypress.
-        self._get_render(self.sim.interval)(self.scene, warm.frame).block_until_ready()
+        self._render_dev(self._get_render(self.sim.interval),
+                         warm.frame).block_until_ready()
+
+    def _render_dev(self, render, frame_state):
+        """Dispatch one device frame with the current camera dirs."""
+        if self._poly:
+            return render(self.scene, frame_state, self._dirs)
+        return render(self.scene, frame_state)
 
     def _get_render(self, interval: int):
-        from .render import build_render_fn
+        if self._poly:
+            from .render import build_viewer_render_fn
 
-        # lru-cached by (meta, w, h, interval, msaa): each configuration
-        # compiles once; toggling 'i' or resizing swaps between cached fns.
-        # out_uint8: pack on device -- the per-frame fetch is 1.5 MB instead
-        # of 6 MB of f32, which matters over a TPU relay.
-        render = build_render_fn(self.meta, self.width, self.height,
-                                 int(interval), self.msaa, out_uint8=True)
-        key = (self.width, self.height, int(interval), self.msaa)
+            render = build_viewer_render_fn(self.meta, *self._pad,
+                                            int(interval), self.stream_scale)
+            key = (self._pad, int(interval), self.stream_scale)
+        else:
+            from .render import build_render_fn
+
+            # lru-cached by (meta, w, h, interval, msaa): each configuration
+            # compiles once; toggling 'i' or resizing swaps cached fns.
+            # out_uint8: pack on device -- the per-frame fetch is 1.5 MB
+            # instead of 6 MB of f32, which matters over a TPU relay.
+            render = build_render_fn(self.meta, self.width, self.height,
+                                     int(interval), self.msaa, out_uint8=True)
+            key = (self.width, self.height, int(interval), self.msaa)
         if key not in self._warmed:
             # jit compiles on first call, not at build: force it here so the
             # `compiling` flag around resize/'i' toggles tells the truth and
             # the live loop never hides a multi-second stall.
             self.compiling = True
             try:
-                render(self.scene, self.sim.frame).block_until_ready()
+                self._render_dev(render, self.sim.frame).block_until_ready()
                 self._warmed.add(key)
             finally:
                 self.compiling = False
         return render
 
     def resize(self, width: int, height: int) -> None:
-        """Swap to a renderer compiled for the new resolution (the live
-        analog of the reference's VBO re-alloc, Render.cpp:100-119).
-        Call ONLY from the render-loop thread (it compiles and touches the
-        device); frontend threads use request_resize instead."""
+        """Swap the render resolution (the live analog of the reference's
+        VBO re-alloc, Render.cpp:100-119). On the polymorphic path this is
+        compile-free for any size fitting the padded grid: recompute the
+        camera dirs on the host and device_put (~ms). Growing past the pad
+        (or the msaa>1 path) compiles once for the new configuration.
+        Call ONLY from the render-loop thread (it touches the device);
+        frontend threads use request_resize instead."""
         width, height = int(width), int(height)
         if (width, height) == (self.width, self.height) or width < 32 or height < 32:
             return
         self.width, self.height = width, height
+        if self._poly:
+            from .render import TILE, _round_up, viewer_dirs
+
+            ph, pw = _round_up(height, TILE), _round_up(width, TILE)
+            if ph > self._pad[0] or pw > self._pad[1]:
+                # grow the pad (never shrink: keep smaller sizes compile-free)
+                self._pad = (max(ph, self._pad[0]), max(pw, self._pad[1]))
+            self._dirs = viewer_dirs(width, height, *self._pad)
         self._get_render(self.sim.interval)
 
     def request_resize(self, width: int, height: int) -> None:
@@ -154,10 +205,10 @@ class ViewerCore:
             self.resize(*pr)
         render = self._get_render(self.sim.interval)  # compiles once per config
         t0 = time.perf_counter()
-        img_dev = render(self.scene, self.sim.frame)  # async dispatch
+        img_dev = self._render_dev(render, self.sim.frame)  # async dispatch
         pending = self._pending
         if pending is None or pending.shape != img_dev.shape:
-            pending = img_dev  # first frame / resize or 'i' swap: no overlap
+            pending = img_dev  # first frame / pad growth or 'i' swap: no overlap
         self._pending = img_dev
         img = pending
         img.block_until_ready()
@@ -178,15 +229,23 @@ class ViewerCore:
             "speed_c": round(float(np.linalg.norm(vel)), 4),
             "time_s": round(float(np.asarray(self.sim.frame.cam_pos)[0]), 3),
             "size": [self.width, self.height],
+            "stream_scale": self.stream_scale,
         }
-        # renderer output is bottom-up (GL order) uint8; displays want top-down
-        return np.asarray(img)[::-1]
+        # renderer output is bottom-up (GL order) uint8; displays want
+        # top-down. The polymorphic frame is padded (and pool-downsampled):
+        # crop to the logical size before the flip.
+        out = np.asarray(img)
+        if self._poly:
+            s = self.stream_scale
+            out = out[:-(-self.height // s), :-(-self.width // s)]
+        return out[::-1]
 
     def stats(self) -> dict:
         s = dict(getattr(self, "_stats", None) or {
             "fps": 0.0, "frame": 0, "paused": bool(self.sim.paused),
             "interval": int(self.sim.interval), "speed_c": 0.0,
             "time_s": 0.0, "size": [self.width, self.height],
+            "stream_scale": self.stream_scale,
         })
         s["compiling"] = bool(self.compiling)
         return s
@@ -233,6 +292,10 @@ def run_window(core: ViewerCore, max_frames: int | None = None) -> int:
             img = core.frame(held)
             # pygame surfaces are (W, H) indexed; transpose the (H, W, 3) frame
             surf = pygame.surfarray.make_surface(img.transpose(1, 0, 2))
+            if img.shape[:2] != (core.height, core.width):
+                # stream_scale>1: the fetched frame is device-downsampled;
+                # upscale for display (the fetch savings are the point)
+                surf = pygame.transform.scale(surf, (core.width, core.height))
             screen.blit(surf, (0, 0))
             pygame.display.flip()
             s = core.stats()
@@ -281,6 +344,9 @@ setInterval(async () => {
       s.fps.toFixed(1) + ' fps | v = ' + s.speed_c + 'c | t = ' + s.time_s +
       's | interval ' + s.interval + (s.paused ? ' | PAUSED' : '') +
       (s.compiling ? ' | COMPILING…' : '');
+    // stream_scale>1 sends device-downsampled frames: display at logical size
+    const v = document.getElementById('view');
+    v.style.width = s.size[0] + 'px'; v.style.height = s.size[1] + 'px';
   } catch (e) {}
 }, 500);
 </script></body></html>
@@ -456,6 +522,11 @@ def main(argv=None) -> int:
     ap.add_argument("--size", default="960x540",
                     help="WxH (default 960x540, the reference's window size)")
     ap.add_argument("--msaa", type=int, default=1)
+    ap.add_argument("--stream-scale", type=int, default=1, choices=(1, 2, 4),
+                    help="device-side downsample of the fetched frame: the "
+                         "per-frame device->host bytes shrink by scale^2 "
+                         "(the wall-fps lever over a TPU relay); the display "
+                         "upscales to the logical size")
     ap.add_argument("--frontend", default="auto", choices=("auto", "window", "web"))
     ap.add_argument("--port", type=int, default=8734, help="web frontend port")
     ap.add_argument("--max-frames", type=int, default=None,
@@ -492,7 +563,7 @@ def main(argv=None) -> int:
         print(f"Error: bad --size {args.size!r} (expected WxH)", file=sys.stderr)
         return 1
     print(f"compiling renderer ({w}x{h})…", flush=True)
-    core = ViewerCore(host, w, h, args.msaa)
+    core = ViewerCore(host, w, h, args.msaa, stream_scale=args.stream_scale)
 
     if args.frontend in ("auto", "window"):
         # Fall back to the web frontend ONLY when the display itself cannot

@@ -93,7 +93,8 @@ def clear_kernel_caches():
     / RPT_ABOUND, since nested jits cache jaxprs keyed only on shapes."""
     from relativitypathtracer_tpu.ops.pallas import (
         analytic_kernels, mesh_batch, mesh_kernels)
-    from relativitypathtracer_tpu.render import build_render_fn
+    from relativitypathtracer_tpu.render import (
+        build_render_fn, build_viewer_render_fn)
 
     mesh_kernels.shared_nearest_hit.clear_cache()
     mesh_kernels.general_min_t.clear_cache()
@@ -102,3 +103,4 @@ def clear_kernel_caches():
     analytic_kernels.analytic_nearest_shared.clear_cache()
     analytic_kernels.analytic_min_t_general.clear_cache()
     build_render_fn.cache_clear()
+    build_viewer_render_fn.cache_clear()

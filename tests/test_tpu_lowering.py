@@ -161,3 +161,24 @@ def test_sharded_renderer_lowers_for_tpu_check_vma(reference_root,
         lowering_platforms=("tpu",))
     n = lowered.as_text().count("tpu_custom_call")
     assert n >= 4
+
+
+def test_viewer_polymorphic_renderer_lowers_for_tpu(reference_root,
+                                                    real_kernels):
+    """The live viewer's resolution-polymorphic renderer (camera dirs as a
+    traced argument + device-side stream pooling) with the production
+    kernels -- the INTERACT protocol runs this on a relay claim."""
+    from relativitypathtracer_tpu.render import (
+        TILE, _round_up, build_viewer_render_fn, viewer_dirs)
+
+    scene, meta = _scene(reference_root, "bunny")
+    w, h = 256, 192
+    ph, pw = _round_up(h, TILE), _round_up(w, TILE)
+    for pool in (1, 2):
+        render = build_viewer_render_fn(meta, ph, pw, meta.default_interval,
+                                        pool)
+        dirs = jax.ShapeDtypeStruct((3, ph * pw), "float32")
+        lowered = jax.jit(render).trace(
+            scene, FrameState.initial(), dirs).lower(
+                lowering_platforms=("tpu",))
+        assert lowered.as_text().count("tpu_custom_call") >= 4

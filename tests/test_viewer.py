@@ -187,3 +187,68 @@ def test_web_frontend_end_to_end():
         stop.set()
         t.join(timeout=30)
     assert not t.is_alive()
+
+
+def test_polymorphic_matches_static_renderer():
+    """The resolution-polymorphic viewer renderer (dirs as a traced
+    argument, host-side crop) must reproduce the static per-size renderer
+    byte-for-byte -- it is the same pipeline with the camera constant
+    turned into an input."""
+    from relativitypathtracer_tpu.models.dsl import parse_scene
+    from relativitypathtracer_tpu.models.scene import build_scene
+    from relativitypathtracer_tpu.render import (
+        FrameState, TILE, _round_up, build_render_fn, build_viewer_render_fn,
+        viewer_dirs)
+
+    scene, meta = build_scene(parse_scene(SCENE))
+    state = FrameState.initial()
+    for w, h in ((64, 48), (96, 64)):
+        ph, pw = _round_up(h, TILE), _round_up(w, TILE)
+        build_render_fn.cache_clear()
+        ref = np.asarray(build_render_fn(
+            meta, w, h, meta.default_interval, 1, out_uint8=True)(scene, state))
+        out = np.asarray(build_viewer_render_fn(
+            meta, ph, pw, meta.default_interval)(
+                scene, state, viewer_dirs(w, h, ph, pw)))[:h, :w]
+        np.testing.assert_array_equal(out, ref, err_msg=f"{w}x{h}")
+
+
+def test_polymorphic_resize_is_compile_free():
+    """Shrinking within the padded grid must reuse the warmed executable:
+    no new (pad, interval, pool) key is warmed, and the frame matches a
+    fresh static renderer at the new logical size."""
+    from relativitypathtracer_tpu.models.dsl import parse_scene
+    from relativitypathtracer_tpu.render import build_render_fn
+    from relativitypathtracer_tpu.viewer import ViewerCore
+
+    core = ViewerCore(parse_scene(SCENE), 96, 64)
+    core.frame(set(), now_s=100.0)
+    warmed_before = set(core._warmed)
+    core.resize(64, 48)
+    assert set(core._warmed) == warmed_before  # no new compile key
+    img = core.frame(set(), now_s=100.016)
+    assert img.shape == (48, 64, 3)
+    ref = np.asarray(build_render_fn(
+        core.meta, 64, 48, core.sim.interval, 1, out_uint8=True)(
+            core.scene, core.sim.frame))[::-1]
+    # the one-frame device pipeline lags by a frame; compare the NEXT one
+    img = core.frame(set(), now_s=100.032)
+    np.testing.assert_array_equal(img, np.asarray(build_render_fn(
+        core.meta, 64, 48, core.sim.interval, 1, out_uint8=True)(
+            core.scene, core.sim.frame))[::-1])
+
+
+def test_stream_scale_pools_on_device():
+    """stream_scale=2 returns a device box-filtered half-size frame whose
+    content matches host-side pooling of the full-size tonemapped frame."""
+    from relativitypathtracer_tpu.models.dsl import parse_scene
+    from relativitypathtracer_tpu.viewer import ViewerCore
+
+    full = ViewerCore(parse_scene(SCENE), 64, 64)
+    pooled = ViewerCore(parse_scene(SCENE), 64, 64, stream_scale=2)
+    a = full.frame(set(), now_s=1.0)
+    b = pooled.frame(set(), now_s=1.0)
+    assert b.shape == (32, 32, 3)
+    host_pool = np.asarray(a, np.float32).reshape(32, 2, 32, 2, 3).mean((1, 3))
+    # device pooling averages BEFORE the uint8 truncation; allow 1.5 lsb
+    assert np.abs(host_pool - b.astype(np.float32)).max() <= 1.5

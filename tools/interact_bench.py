@@ -70,6 +70,12 @@ def main(argv=None) -> int:
                     help="seconds per fps measurement segment")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--round", dest="round_tag", default="04")
+    ap.add_argument("--stream-scale", type=int, default=1, choices=(1, 2, 4),
+                    help="device-side downsample of the fetched frame "
+                         "(bytes / scale^2): the wall-fps lever over a relay")
+    ap.add_argument("--suffix", default="",
+                    help="artifact name suffix (e.g. _s2 for a stream-scale "
+                         "variant, so two protocol runs don't overwrite)")
     args = ap.parse_args(argv)
 
     import jax
@@ -86,7 +92,23 @@ def main(argv=None) -> int:
     ref = pathlib.Path("/root/reference/Scenes") / f"{args.scene}.txt"
     w, h = (int(x) for x in args.size.lower().split("x"))
     print(f"compiling viewer core {w}x{h} ({args.scene}) ...", flush=True)
-    core = ViewerCore(load_scene_file(str(ref)), w, h)
+    core = ViewerCore(load_scene_file(str(ref)), w, h,
+                      stream_scale=args.stream_scale)
+
+    # Device-side sustained fps: the renderer alone (chained frames, one
+    # scalar fetch -- utils.timing), decoupled from the HTTP/relay image
+    # fetch. This is the figure the round-4 followup owed: what cadence the
+    # RENDERER sustains at the reference's window size.
+    from relativitypathtracer_tpu.utils.timing import chained_samples_ms
+
+    rd = core._get_render(core.sim.interval)
+    if core._poly:
+        dev_fn = (lambda sc, st: rd(sc, st, core._dirs))
+    else:
+        dev_fn = rd
+    samples, _ = chained_samples_ms(dev_fn, core.scene, core.sim.frame,
+                                    nbatch=3, batch=12)
+    device_ms = min(samples)
 
     ready = threading.Event()
     port_box = {}
@@ -150,22 +172,34 @@ def main(argv=None) -> int:
 
         # -- live resize latency (the reference's VBO re-alloc analog,
         # Render.cpp:100-119): request a smaller surface over HTTP, time
-        # until /stats reports it (includes the new config's compile unless
-        # warmed), then restore.
+        # until /stats reports it. With the round-5 polymorphic renderer a
+        # shrink is compile-free (host dirs recompute, ~ms); growing past
+        # the padded grid is the one remaining compile and is recorded
+        # separately as the honest worst case.
         w2, h2 = max(w // 2, 64), max(h // 2, 64)
         _post(port, f"/resize?w={w2}&h={h2}")
         lat_resize = _await_stats(
             port, lambda s: s["size"] == [w2, h2], timeout_s=240) * 1e3
         _post(port, f"/resize?w={w}&h={h}")
         _await_stats(port, lambda s: s["size"] == [w, h], timeout_s=240)
+        w3, h3 = w + 64, h + 64  # past the pad: compiles a grown grid
+        _post(port, f"/resize?w={w3}&h={h3}")
+        lat_grow = _await_stats(
+            port, lambda s: s["size"] == [w3, h3], timeout_s=240) * 1e3
+        _post(port, f"/resize?w={w}&h={h}")  # back: within pad, instant
+        _await_stats(port, lambda s: s["size"] == [w, h], timeout_s=240)
 
         result.update({
             "idle_fps": round(idle_fps, 2),
             "flying_fps": round(fly_fps, 2),
+            "device_frame_ms": round(device_ms, 3),
+            "device_fps": round(1e3 / device_ms, 1),
+            "stream_scale": args.stream_scale,
             "key_latency_ms_space_p50": round(sorted(lat_space)[2], 2),
             "key_latency_ms_space_all": [round(x, 2) for x in lat_space],
             "key_latency_ms_w": round(lat_w, 2),
             "resize_latency_ms_first": round(lat_resize, 2),
+            "resize_latency_ms_grow_pad": round(lat_grow, 2),
             "frames_counted": n0 + n1,
             "cadence_cap_fps": round(1.0 / 0.015, 1),
         })
@@ -173,7 +207,7 @@ def main(argv=None) -> int:
         stop.set()
         server.join(timeout=30)
 
-    tag = args.round_tag
+    tag = args.round_tag + args.suffix
     out_json = REPO / f"INTERACT_r{tag}.json"
     out_json.write_text(json.dumps(result, indent=1))
     print(json.dumps(result), flush=True)
