@@ -294,6 +294,69 @@ def live_chunk_lists2(spheres, dh_p, o_p, valid=None, lane_bound=None, s=8):
     return order, minds, counts, pack_bits(over_c)[:, None, :]
 
 
+def super_spheres_of(spheres, s):
+    """(C, 4) chunk spheres -> (ceil(C/s), 4) per-group bounding spheres.
+
+    Center = the group's sphere-extent box center; radius = max over
+    children of (|center - child_center| + child_radius), so the group
+    sphere CONTAINS every child sphere -- its cone cull distance therefore
+    lower-bounds every child-chunk hit (a sound early-termination floor).
+    Groups are s CONSECUTIVE chunks (Morton order keeps them spatially
+    compact). Pad entries of a ragged last group are masked out."""
+    C = spheres.shape[0]
+    C_s = -(-C // s)
+    pad = C_s * s - C
+    c = jnp.pad(spheres[:, :3], ((0, pad), (0, 0))).reshape(C_s, s, 3)
+    r = jnp.pad(spheres[:, 3], (0, pad)).reshape(C_s, s)
+    real = (jnp.arange(C_s * s).reshape(C_s, s) < C)
+    lo = jnp.min(jnp.where(real[..., None], c - r[..., None], INF), axis=1)
+    hi = jnp.max(jnp.where(real[..., None], c + r[..., None], -INF), axis=1)
+    center = 0.5 * (lo + hi)
+    dist = jnp.sqrt(jnp.sum((c - center[:, None, :]) ** 2, axis=-1))
+    rad = jnp.max(jnp.where(real, dist + r, 0.0), axis=1)
+    return jnp.concatenate([center, rad[:, None]], axis=1)
+
+
+def live_chunk_lists3(spheres, dh_p, o_p, valid=None, lane_bound=None,
+                      s=128):
+    """live_chunk_lists2 for VERY large chunk counts (the 1M+-triangle
+    tier): ordering AND distance culling run against SUPER bounding spheres
+    (dense sub-cone work is (n_sub, C/s) instead of (n_sub, C), which at
+    C ~ 40k chunks and 6k sub-cones is ~0.5-1 GB/frame of f32 transients);
+    per-chunk tightness comes from ONE cone-vs-chunk-sphere overlap pass at
+    BLOCK granularity ((B, C) bools, ~30 MB transient at that scale) packed
+    into the same bitmask the kernels already consult.
+
+    vs lists2 the floors are looser (super-sphere distance instead of the
+    min of child culls) and the bits see full-block cones instead of
+    sub-cones -- the price of bounding the build cost; both stay SOUND
+    (the super sphere contains every child, see super_spheres_of; bits are
+    a skip optimization, extra set bits cost work, never correctness).
+    Same output contract as live_chunk_lists2."""
+    ssph = super_spheres_of(spheres, s)
+    mind_s, over_s = _sub_cone_cull(ssph, dh_p, o_p, valid, lane_bound)
+    order, minds, counts = bucket_order(mind_s, over_s)
+    B = dh_p.shape[1] // NB
+    d = dh_p.reshape(3, B, NB)
+    o = o_p.reshape(3, B, NB)
+    if valid is not None:
+        d, o = _mask_invalid_lanes(d, o, valid)
+    _, over_c = _cone_cull(spheres, d, o)
+    if valid is not None:
+        # A block with zero valid lanes gets a degenerate cone that reads
+        # as overlaps-everything; its lanes cannot hit anything.
+        has_valid = jnp.any(valid.reshape(B, NB), axis=1)
+        over_c = over_c & has_valid[:, None]
+    # s > 32: the walk's position->chunk map reaches ids up to C_s*s-1
+    # (pad positions of a ragged last super), which can exceed the
+    # ceil(C/32)-word mask that s | 32 guarantees stays in-window
+    # (_walk_scaffold.live). Pad the bit columns to the super-aligned
+    # width; pad bits are zero, so the skip-advance hops them as dead.
+    C_s = -(-spheres.shape[0] // s)
+    over_c = jnp.pad(over_c, ((0, 0), (0, C_s * s - spheres.shape[0])))
+    return order, minds, counts, pack_bits(over_c)[:, None, :]
+
+
 def live_chunk_lists(spheres, dh_p, o_p, valid=None, lane_bound=None):
     """Dense (block, chunk) culling + compaction, all outside the kernel.
 

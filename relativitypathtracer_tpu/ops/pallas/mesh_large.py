@@ -44,7 +44,7 @@ from . import ray_vma
 
 from .mesh_kernels import (
     INF, NB, TC, N_ATTR, _mt_mask, _round_up, _safe_inv,
-    _walk_scaffold, live_chunk_lists2, split_bf16,
+    _walk_scaffold, live_chunk_lists2, live_chunk_lists3, split_bf16,
 )
 
 # Diagnostic switches (set before first trace): DEBUG_SYNC forces
@@ -57,6 +57,20 @@ DEBUG_SYNC = False
 DEBUG_NO_EARLYSTOP = False
 S_SUPER = 32     # chunks per superchunk (ordering granularity)
 LARGE_T = 24576  # T_pad above which the VMEM-resident kernels stop fitting
+# Above this chunk count the DENSE chunk-granularity cull matrix stops
+# scaling (at C ~ 40k chunks / 1.27M tris it is ~0.5-1 GB of f32 transients
+# per frame and the bitmask build dominates): switch to super-sphere culling
+# with S_SUPER_XL-chunk groups (live_chunk_lists3), which keeps C_s ~ 311 at
+# the 1.27M-triangle tier -- the same ordering width the proven 318k tier
+# runs at. ~2M chunks is the envelope of the (B, C) block-granularity bits
+# pass itself; beyond that a third grouping level is needed.
+SUPER_CULL_C = 16384
+S_SUPER_XL = 128
+
+
+def _super_s(C: int) -> int:
+    """Ordering granularity for a C-chunk pool (static, trace-time)."""
+    return S_SUPER if C <= SUPER_CULL_C else S_SUPER_XL
 
 # DMA'd per-chunk records are LANE-major -- (coefficient-rows, 128) with the
 # chunk's TC triangles on lanes -- because Mosaic requires DMA regions to be
@@ -115,9 +129,16 @@ def large_live_lists(spheres, dh_p, o_p, valid=None, lane_bound=None):
     structurally immune to the round-3 pad-sphere NaN floors.
     lane_bound (optional (n_pad,) f32) is each lane's maximum useful ray
     parameter (segment culling, see mesh_kernels.live_chunk_lists).
+    Above SUPER_CULL_C chunks the dense chunk-granularity cull is replaced
+    by super-sphere culling + block-granularity bits (live_chunk_lists3)
+    at S_SUPER_XL grouping -- the 1M+-triangle tier.
     Returns (order, minds, counts, bits)."""
-    return live_chunk_lists2(spheres, dh_p, o_p, valid, lane_bound,
-                             s=S_SUPER)
+    C = spheres.shape[0]
+    if C <= SUPER_CULL_C:
+        return live_chunk_lists2(spheres, dh_p, o_p, valid, lane_bound,
+                                 s=S_SUPER)
+    return live_chunk_lists3(spheres, dh_p, o_p, valid, lane_bound,
+                             s=S_SUPER_XL)
 
 
 def _shared_large_kernel(order_ref, minds_ref, count_ref, bits_ref, box_ref,
@@ -275,7 +296,7 @@ def large_shared_nearest_hit(consts_rec, attrs_split, spheres,
     box = jnp.concatenate([lo, hi, ro])[None, :]
 
     C_s = order.shape[2]
-    kernel = functools.partial(_shared_large_kernel, C=C, S=S_SUPER, T=T)
+    kernel = functools.partial(_shared_large_kernel, C=C, S=_super_s(C), T=T)
     out_vec = pl.BlockSpec((1, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
     bt, bu, bv, btri, battr = pl.pallas_call(
         kernel,
@@ -422,7 +443,7 @@ def large_general_min_t(cols_rec, spheres, r10, tmax_obj=None,
         lane_bound=_general_lane_bound(tmax_p[0], r10_p, lo, hi))
 
     C_s = order.shape[2]
-    kernel = functools.partial(_general_large_kernel, C=C, S=S_SUPER, T=T)
+    kernel = functools.partial(_general_large_kernel, C=C, S=_super_s(C), T=T)
     bt = pl.pallas_call(
         kernel,
         grid=(n_pad // NB,),

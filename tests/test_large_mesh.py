@@ -153,3 +153,57 @@ def test_large_path_multi_mesh(reference_root, force_large):
     scene_s, meta_s = build_scene(host)
     small = np.asarray(render_frame(scene_s, meta_s, state, W, H))
     np.testing.assert_allclose(large, small, atol=2e-5)
+
+
+@pytest.mark.parametrize("s_xl", [4, 128])
+def test_xl_super_cull_matches_small(reference_root, force_large,
+                                     monkeypatch, s_xl):
+    """The 1M+-tier live-list builder (live_chunk_lists3: super-SPHERE
+    culling + block-granularity chunk bits) forced onto the small fixture
+    must reproduce the small-path render exactly -- culling/ordering are
+    skip optimizations, never semantics. s_xl=128 exercises the ragged
+    last super whose pad positions reach past ceil(C/32) bit words (the
+    s>32 bits-padding case); s_xl=4 exercises multi-super ordering on the
+    fixture's small chunk count."""
+    from relativitypathtracer_tpu.ops.pallas import mesh_large
+
+    monkeypatch.setattr(mesh_large, "SUPER_CULL_C", 0)  # force lists3
+    monkeypatch.setattr(mesh_large, "S_SUPER_XL", s_xl)
+    mesh_large.large_shared_nearest_hit.clear_cache()
+    mesh_large.large_general_min_t.clear_cache()
+    host = load_scene_file(str(reference_root / "Scenes" / "shadows.txt"))
+    state = FrameState.initial()
+    W, H = 96, 64
+    scene_l, meta_l = build_scene(host)
+    assert scene_l.mesh_static[0].gen_rec is not None
+    try:
+        xl = np.asarray(render_frame(scene_l, meta_l, state, W, H))
+    finally:
+        mesh_large.large_shared_nearest_hit.clear_cache()
+        mesh_large.large_general_min_t.clear_cache()
+
+    mesh_intersect.LARGE_MODE = False
+    build_render_fn.cache_clear()
+    scene_s, meta_s = build_scene(host)
+    small = np.asarray(render_frame(scene_s, meta_s, state, W, H))
+    np.testing.assert_allclose(xl, small, atol=2e-5)
+
+
+def test_super_spheres_contain_children():
+    """super_spheres_of must produce spheres that CONTAIN every child chunk
+    sphere (the soundness requirement for its cull floors), including a
+    ragged last group."""
+    from relativitypathtracer_tpu.ops.pallas.mesh_kernels import (
+        super_spheres_of)
+
+    rng = np.random.default_rng(7)
+    C, s = 37, 8  # ragged: 5 groups, last has 5 children
+    c = rng.normal(size=(C, 3)).astype(np.float32) * 5
+    r = rng.uniform(0.1, 2.0, size=(C, 1)).astype(np.float32)
+    sph = np.concatenate([c, r], axis=1)
+    sup = np.asarray(super_spheres_of(sph, s))
+    assert sup.shape == (5, 4)
+    for g in range(5):
+        kids = sph[g * s:(g + 1) * s]
+        d = np.linalg.norm(kids[:, :3] - sup[g, :3], axis=1) + kids[:, 3]
+        assert (d <= sup[g, 3] + 1e-5).all(), f"group {g} child escapes"

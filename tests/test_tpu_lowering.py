@@ -182,3 +182,45 @@ def test_viewer_polymorphic_renderer_lowers_for_tpu(reference_root,
             scene, FrameState.initial(), dirs).lower(
                 lowering_platforms=("tpu",))
         assert lowered.as_text().count("tpu_custom_call") >= 4
+
+
+def test_xl_tier_lowers_for_tpu_at_1p27m_shapes(real_kernels):
+    """The 1.27M-triangle tier at its REAL shapes (C=39,744 chunks ->
+    live_chunk_lists3 routing, S_SUPER_XL=128, 1,242-word SMEM bitmask
+    windows), statically: lowering only traces, so no actual mesh build or
+    memory is needed. Catches Mosaic lowering breakage (window sizes,
+    scalar loops at the XL grouping) before a relay claim."""
+    import jax.numpy as jnp
+
+    from relativitypathtracer_tpu.ops.pallas import mesh_large
+
+    T = 1_271_808  # 4,968 * 4^4 (utils.largedemo LEVELS=4)
+    T_pad = -(-T // 32) * 32
+    C = T_pad // 32
+    assert C > mesh_large.SUPER_CULL_C  # really routes through lists3
+    n = 4096  # ray count is shape-independent of the mesh scale
+    consts_rec = jax.ShapeDtypeStruct((C * mesh_large.REC_SH, 128), "float32")
+    attrs_rec = jax.ShapeDtypeStruct((C * mesh_large.REC_AT, 128), "float32")
+    cols_rec = jax.ShapeDtypeStruct((C * mesh_large.REC_GEN, 128), "float32")
+    spheres = jax.ShapeDtypeStruct((C, 4), "float32")
+    dh = jax.ShapeDtypeStruct((3, n), "float32")
+    ro = jax.ShapeDtypeStruct((3,), "float32")
+    r10 = jax.ShapeDtypeStruct((10, n), "float32")
+    tmax = jax.ShapeDtypeStruct((n,), "float32")
+
+    low = jax.jit(mesh_large.large_shared_nearest_hit,
+                  static_argnames=("T",)).trace(
+        consts_rec, attrs_rec, spheres, dh, ro, T=T_pad).lower(
+        lowering_platforms=("tpu",))
+    assert low.as_text().count("tpu_custom_call") >= 1
+
+    low2 = jax.jit(mesh_large.large_general_min_t,
+                   static_argnames=("T",)).trace(
+        cols_rec, spheres, r10, tmax, T=T_pad).lower(
+        lowering_platforms=("tpu",))
+    assert low2.as_text().count("tpu_custom_call") >= 1
+
+    from relativitypathtracer_tpu.utils.mosaic_lint import assert_vmem_budget
+
+    assert_vmem_budget(low.as_text())
+    assert_vmem_budget(low2.as_text())
