@@ -313,6 +313,25 @@ def main():
         large = {"error": str(e)[:120]}
     PARTIAL["large_mesh"] = large
 
+    # XL tier: 1,271,808 tris (39,744 chunks -> live_chunk_lists3
+    # super-sphere culling). Gated on the host-scene pickle cache already
+    # existing: a COLD build costs ~6 min of subdivision + octree and would
+    # eat the watchdog budget; tools/round5_followup.py (or any prior run)
+    # warms it, after which this section costs compile + 12 frames + the
+    # oracle parity render.
+    import os as _os
+
+    if _os.path.exists("/tmp/subdiv_bunny_4/Scenes/scene.txt.host.pkl"):
+        try:
+            xl = large_parity_and_time(W, H, levels=4)
+            log(f"XL mesh ({xl['tris']} tris): {xl['frame_ms']:.1f} ms/frame, "
+                f"frac>1e-3 = {xl['frac_bad']:.5f} (ok={xl['ok']})")
+        except Exception as e:  # noqa: BLE001
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            xl = {"error": str(e)[:120]}
+        PARTIAL["large_mesh_xl"] = xl
+
     line = {
         "metric": f"total Mrays/s, bunny.txt {W}x{H} (primary+shadow), p50",
         "unit": "Mrays/s",

@@ -46,6 +46,22 @@ MISS_COLOR = (0.15, 0.15, 0.25)
 _GROUP_CHUNK = 8  # objects per vmapped intersection batch (bounds transients)
 
 
+def _analytic_direct_max() -> int:
+    """RPT_ANALYTIC_DIRECT=N (trace-time): scenes with at most N analytic
+    objects route their sphere/cube intersections through the DIRECT
+    XLA-fused jnp path instead of the fused analytic Pallas kernels.
+
+    Hypothesis from the round-5 stage attribution (ATTRIB_r05.json): on
+    bunny (ONE analytic object, the light sphere) the non-mesh residual is
+    2.54 ms -- a Pallas launch + per-block live-object machinery for a
+    single sphere may cost more than a handful of fused elementwise HBM
+    passes. Default 0 (off, the r4-proven kernels) until the on-chip A/B
+    lands; both paths are exactness-pinned against each other
+    (tests/test_pallas_interpret.py, test_render_features.py)."""
+    v = os.environ.get("RPT_ANALYTIC_DIRECT", "").strip()
+    return int(v) if v else 0
+
+
 class FrameState(NamedTuple):
     """Serializable per-frame camera state; the only traced per-frame input.
 
@@ -150,7 +166,8 @@ def intersect_scene(scene: Scene, meta: SceneMeta, L, stat_cam, dir4,
     )
 
     use_pallas, interp = _resolve_pallas(None)
-    if use_pallas and (meta.sphere_ids or meta.cube_ids):
+    n_analytic = len(meta.sphere_ids) + len(meta.cube_ids)
+    if use_pallas and n_analytic > _analytic_direct_max():
         # Fused Pallas path: every object's frame-composed constants sit in
         # SMEM and each ray block is walked against ALL objects in VMEM --
         # one HBM pass, vs ceil(O/8) chunked passes of (8, N) transients
@@ -216,7 +233,7 @@ def scene_min_t(scene: Scene, meta: SceneMeta, L, origins4, dir3, interval: int,
     sph = tuple(i for i in meta.sphere_ids if i != exclude_id)
     cub = tuple(i for i in meta.cube_ids if i != exclude_id)
     use_pallas, interp = _resolve_pallas(None)
-    if use_pallas and (sph or cub):
+    if use_pallas and len(sph) + len(cub) > _analytic_direct_max():
         # Fused analytic occlusion: see intersect_scene. The light itself is
         # excluded statically by omitting its params row.
         from .ops.pallas.analytic_kernels import (

@@ -45,16 +45,19 @@ def load_large_scene(workdir: str = "/tmp", levels: int = LEVELS):
 
 
 def large_parity_and_time(width: int = 1024, height: int = 768,
-                          frames: int = 12, workdir: str = "/tmp") -> dict:
+                          frames: int = 12, workdir: str = "/tmp",
+                          levels: int = LEVELS) -> dict:
     """Render the large scene on the live backend: per-frame time (chained
-    frames, relay RTT subtracted) + full-res parity vs the C++ oracle."""
+    frames, relay RTT subtracted) + full-res parity vs the C++ oracle.
+    levels=4 is the 1,271,808-triangle XL tier (39,744 chunks ->
+    live_chunk_lists3 super-sphere culling)."""
     import jax.numpy as jnp
 
     from relativitypathtracer_tpu.render import FrameState, build_render_fn
     from relativitypathtracer_tpu.utils.parity import MAX_FRAC_BAD, _ensure_oracle
     from relativitypathtracer_tpu.utils.scene_blob import write_scene_blob
 
-    scene, meta = load_large_scene(workdir=workdir)
+    scene, meta = load_large_scene(workdir=workdir, levels=levels)
     assert scene.mesh_static[0].gen_rec is not None, "large tier not engaged"
     state = FrameState.initial()
     render = build_render_fn(meta, width, height, meta.default_interval, 1)
@@ -71,8 +74,8 @@ def large_parity_and_time(width: int = 1024, height: int = 768,
     _ = float(jnp.sum(img))
     ms = (time.perf_counter() - t0 - min(rtt)) / frames * 1e3
 
-    blob = f"{workdir}/parity_large.blob"
-    out = f"{workdir}/parity_large.rgb"
+    blob = f"{workdir}/parity_large_l{levels}.blob"
+    out = f"{workdir}/parity_large_l{levels}.rgb"
     write_scene_blob(blob, scene, meta, state, width, height)
     subprocess.run([_ensure_oracle(), blob, out], check=True, capture_output=True)
     ref = np.fromfile(out, np.float32).reshape(height, width, 3)

@@ -547,3 +547,27 @@ def test_live_objects_culling_is_conservative():
             missed = hits & ~live[:, slot]
             assert not missed.any(), (
                 f"object {i} hit in blocks {np.nonzero(missed)[0]} but culled")
+
+
+@pytest.mark.parametrize("name", ["bunny", "shadows", "cube"])
+def test_analytic_direct_matches_kernel(name, reference_root, monkeypatch):
+    """RPT_ANALYTIC_DIRECT=99 (route analytic objects through the direct
+    XLA-fused intersects while meshes stay on the Pallas kernels) must
+    match the all-kernel route -- same fp32 math modulo reduce grouping
+    and hit/miss ties, like the kernel-vs-jnp full-frame equality above.
+    This is the exactness guard for the round-5 on-chip A/B (ATTRIB_r05's
+    2.54 ms non-mesh residual on a ONE-analytic-object scene)."""
+    host = load_scene_file(str(reference_root / "Scenes" / f"{name}.txt"))
+    scene, meta = build_scene(host)
+    ref = _render(scene, meta, "interpret")
+    monkeypatch.setenv("RPT_ANALYTIC_DIRECT", "99")
+    clear_kernel_caches()
+    try:
+        got = _render(scene, meta, "interpret")
+    finally:
+        monkeypatch.delenv("RPT_ANALYTIC_DIRECT")
+        clear_kernel_caches()
+    diff = np.abs(ref - got)
+    frac_bad = float(np.mean(diff.max(-1) > 1e-3))
+    assert diff.mean() < 1e-4, f"mean diff {diff.mean()}"
+    assert frac_bad <= 0.002, f"{frac_bad * 100:.2f}% pixels differ > 1e-3"
