@@ -55,6 +55,13 @@ AB_MATRIX = {
     # measured and shipped (ROUND5_CLAIM1.json: 1.44-1.48x).
     "MSAA per-sample loop (FLIP = loop becomes default)": [
         ("bunny_msaa2", "bunny_msaa2_loop"), ("bunny_msaa4", "bunny_msaa4_loop")],
+    # Analytic objects through direct XLA intersects instead of the fused
+    # kernels (ROUND5_FOLLOWUP.json): measured LOSS on every scene (bunny
+    # 7.44 vs 7.25, cubes 15.5 vs 5.5) -- the kernels win even at ONE
+    # object; ATTRIB2 puts analytic+merge at 0.27 ms. Stays opt-in.
+    "RPT_ANALYTIC_DIRECT=99 (FLIP = adopt direct route)": [
+        ("bunny", "bunny_adirect"), ("shadows", "shadows_adirect"),
+        ("cubes", "cubes_adirect"), ("arch", "arch_adirect")],
 }
 
 # Pre-flip generation, frozen: these step names were produced by the
