@@ -293,20 +293,27 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     obj_onehot_f = obj_onehot.astype(jnp.float32)
 
     # --- surface color: texture or flat, then proper-time flash (x2) ---
-    # Per-pixel object attributes via one-hot selects/matmuls -- never
-    # `table[obj]` element gathers (~8ns/ray each on TPU).
-    def sel_i32(table):
-        return jnp.sum(jnp.where(obj_onehot, jnp.asarray(table, jnp.int32)[:, None], 0), axis=0)
-
-    tex_off = sel_i32(objects.tex_offset)
+    # Per-pixel object attributes via ONE one-hot matmul -- never
+    # `table[obj]` element gathers (~8ns/ray each on TPU), and never one
+    # where/sum select pipeline per attribute: the round-5 on-chip
+    # attribution (ATTRIB_r05.json attrib3) measured 8 separate selects at
+    # ~1.1 ms/frame on bunny, vs one (K, O) @ (O, N) MXU dot for all of
+    # them. Every table value is an integer < 2^24, exact in f32 under the
+    # renderer's HIGHEST matmul precision; -1 sentinels round-trip exactly.
+    int_tables = [objects.tex_offset, objects.tex_w, objects.tex_h]
+    if meta.use_footprint_tex:
+        int_tables += [scene.tex_fp[:, k] for k in range(6)]
+    tbl = jnp.stack([jnp.asarray(c, jnp.float32) for c in int_tables])
+    sel = jnp.matmul(tbl, obj_onehot_f).astype(jnp.int32)  # (K, N)
+    tex_off = sel[0]
     textured = tex_off != -1
-    tex_w = jnp.maximum(sel_i32(objects.tex_w), 1)
-    tex_h = jnp.maximum(sel_i32(objects.tex_h), 1)
+    tex_w = jnp.maximum(sel[1], 1)
+    tex_h = jnp.maximum(sel[2], 1)
     if meta.use_footprint_tex:
         from .ops.pallas.texture_kernel import (
             footprint_sample_small, footprint_sample_windowed, texture_route)
 
-        fp = jnp.stack([sel_i32(scene.tex_fp[:, k]) for k in range(6)])  # (6, N)
+        fp = sel[3:9]  # (6, N)
         use_p, interp = _resolve_pallas(None)
         route = texture_route(scene.tex_quads.shape[0], use_p)
         if route == "small":
@@ -350,7 +357,8 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     # --- ambient + emissive (opencl_kernel.cl:567-571) ---
     ambient = scene.ambient if interval != 0 else jnp.float32(1.0)
     color = hit_color * ambient
-    is_light = jnp.sum(jnp.where(obj_onehot, objects.light[:, None], False), axis=0)
+    is_light = jnp.matmul(objects.light.astype(jnp.float32)[None, :],
+                          obj_onehot_f)[0] > 0.5
     color = color + jnp.where(is_light[None, :], hit_color, 0.0)
 
     shadow_rays = jnp.zeros((), jnp.int32)

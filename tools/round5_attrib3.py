@@ -91,6 +91,14 @@ def main() -> None:
 
     OUT = {}
 
+    def finish():
+        OUT["resolution"] = f"{W}x{H}"
+        OUT["platform"] = jax.default_backend()
+        prev = (json.loads(ART_PATH.read_text()) if ART_PATH.exists()
+                else {"resolution": f"{W}x{H}"})
+        prev["attrib3"] = OUT
+        ART_PATH.write_text(json.dumps(prev, indent=1))
+
     def stage(name, fn, frames=12, reps=3):
         try:
             OUT[name] = timed(jax.jit(fn), frames=frames, reps=reps)
@@ -172,6 +180,61 @@ def main() -> None:
 
     stage("texture_only", texture_only)
 
+    # Split the texture stage: uv->atlas-row address math (XLA, Morton
+    # tile_slot) vs everything else (fp selects + the fetch kernel).
+    def addr_only(scene, state):
+        from relativitypathtracer_tpu.ops.pallas.texture_kernel import (
+            _address_lanes)
+
+        with jax.default_matmul_precision("highest"):
+            uv, obj = jax.lax.optimization_barrier((uv_c, obj_c))
+            obj_onehot, _ = _onehot(obj)
+
+            def sel_i32(table):
+                return jnp.sum(jnp.where(
+                    obj_onehot, jnp.asarray(table, jnp.int32)[:, None], 0),
+                    axis=0)
+
+            tex_w = jnp.maximum(sel_i32(objects.tex_w), 1)
+            tex_h = jnp.maximum(sel_i32(objects.tex_h), 1)
+            fp = jnp.stack([sel_i32(scene.tex_fp[:, k]) for k in range(6)])
+            return _address_lanes(scene.tex_quads.shape[0], fp, tex_w,
+                                  tex_h, uv)
+
+    stage("texture_addr_only", addr_only)
+
+    def sel_only(scene, state):
+        with jax.default_matmul_precision("highest"):
+            uv, obj = jax.lax.optimization_barrier((uv_c, obj_c))
+            obj_onehot, _ = _onehot(obj)
+
+            def sel_i32(table):
+                return jnp.sum(jnp.where(
+                    obj_onehot, jnp.asarray(table, jnp.int32)[:, None], 0),
+                    axis=0)
+
+            return jnp.stack(
+                [sel_i32(scene.tex_fp[:, k]) for k in range(6)]
+                + [jnp.maximum(sel_i32(objects.tex_w), 1),
+                   jnp.maximum(sel_i32(objects.tex_h), 1)])
+
+    stage("texture_sel_only", sel_only)
+
+    # Split tonemap vs the unswizzle relayout.
+    def hable_only(scene, state):
+        with jax.default_matmul_precision("highest"):
+            color = jax.lax.optimization_barrier(normal_c)
+            return R.tonemap(color.T, scene.white_point)
+
+    stage("tonemap_math_only", hable_only)
+
+    def unswizzle_only(scene, state):
+        with jax.default_matmul_precision("highest"):
+            color = jax.lax.optimization_barrier(normal_c)
+            return R.tile_unswizzle(color, ph, pw).reshape(3, ph, pw)
+
+    stage("unswizzle_only", unswizzle_only)
+
     # tonemap + unswizzle alone
     def tonemap_only(scene, state):
         with jax.default_matmul_precision("highest"):
@@ -208,16 +271,8 @@ def main() -> None:
 
     stage("shadow_walk_real", shadow_walk_real)
 
-    def finish():
-        OUT["resolution"] = f"{W}x{H}"
-        OUT["platform"] = jax.default_backend()
-        prev = (json.loads(ART_PATH.read_text()) if ART_PATH.exists()
-                else {"resolution": f"{W}x{H}"})
-        prev["attrib3"] = OUT
-        ART_PATH.write_text(json.dumps(prev, indent=1))
-        print(f"[done] -> {ART_PATH}", flush=True)
-
     finish()
+    print(f"[done] -> {ART_PATH}", flush=True)
 
 
 if __name__ == "__main__":
