@@ -320,8 +320,10 @@ def main():
     # warms it, after which this section costs compile + 12 frames + the
     # oracle parity render.
     import os as _os
+    import time as _time
 
-    if _os.path.exists("/tmp/subdiv_bunny_4/Scenes/scene.txt.host.pkl"):
+    if (_os.path.exists("/tmp/subdiv_bunny_4/Scenes/scene.txt.host.pkl")
+            and _time.time() - _START < 1500 - 300):
         try:
             xl = large_parity_and_time(W, H, levels=4)
             log(f"XL mesh ({xl['tris']} tris): {xl['frame_ms']:.1f} ms/frame, "
