@@ -95,17 +95,12 @@ def bilinear_sample_footprint(quads, fp, width, height, uv):
 
     slot = tile_slot(lx, ly, wb, rh)
     idx4 = jnp.clip((base_quad + slot) * 4, 0, quads.shape[0] * 8 - 4)
-    # idx4 is always 4-aligned (quads are stored in aligned groups of 4 and
-    # the clip bound Rq*8-4 is too), so a (Rq*2, 4) view of the atlas lets
-    # ONE 16-byte row fetch all 4 taps: half the gathered bytes of the
-    # (Rq, 8) row and no hi/lo-half select. The gather is the whole cost of
-    # this path on TPU (~3 ms flat per 786k rays at 32 B rows), so row size
-    # is the lever. Bitwise-identical texels.
-    rows = jnp.take(quads.reshape(-1, 4), idx4 >> 2, axis=0)  # (N, 4)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (n, 4), 1)
+    rows = jnp.take(quads, idx4 >> 3, axis=0)  # (N, 8)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (n, 8), 1)
+    lb = (idx4 & 7)[:, None]
 
     def texel(k):
-        packed = jnp.sum(jnp.where(lanes == k, rows, 0), axis=1)
+        packed = jnp.sum(jnp.where(lanes == lb + k, rows, 0), axis=1)
         r = (packed & 0xFF).astype(jnp.float32)
         g = ((packed >> 8) & 0xFF).astype(jnp.float32)
         b = ((packed >> 16) & 0xFF).astype(jnp.float32)
