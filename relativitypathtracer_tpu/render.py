@@ -304,7 +304,11 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     if meta.use_footprint_tex:
         int_tables += [scene.tex_fp[:, k] for k in range(6)]
     tbl = jnp.stack([jnp.asarray(c, jnp.float32) for c in int_tables])
-    sel = jnp.matmul(tbl, obj_onehot_f).astype(jnp.int32)  # (K, N)
+    # Pin HIGHEST locally (not just via the renderer's ambient context): a
+    # DEFAULT bf16 pass would silently truncate indices > 256 -- wrong
+    # texels, not an error.
+    with jax.default_matmul_precision("highest"):
+        sel = jnp.matmul(tbl, obj_onehot_f).astype(jnp.int32)  # (K, N)
     tex_off = sel[0]
     textured = tex_off != -1
     tex_w = jnp.maximum(sel[1], 1)
