@@ -319,11 +319,18 @@ def main():
     # eat the watchdog budget; tools/round5_followup.py (or any prior run)
     # warms it, after which this section costs compile + 12 frames + the
     # oracle parity render.
-    import os as _os
-    import time as _time
+    from relativitypathtracer_tpu.utils.largedemo import xl_cache_path
 
-    if (_os.path.exists("/tmp/subdiv_bunny_4/Scenes/scene.txt.host.pkl")
-            and _time.time() - _START < 1500 - 300):
+    xl_ready = os.path.exists(xl_cache_path(4))
+    xl_time_ok = time.time() - _START < 1500 - 300
+    # CPU smokes skip: 1.27M tris through the jnp fallback on one core
+    # would eat the whole watchdog budget.
+    xl_backend_ok = jax.default_backend() != "cpu"
+    if not (xl_ready and xl_time_ok and xl_backend_ok):
+        # no silent caps: say WHY the section is absent from the JSON
+        log(f"large_mesh_xl skipped (cache_ready={xl_ready}, "
+            f"time_ok={xl_time_ok}, backend_ok={xl_backend_ok})")
+    if xl_ready and xl_time_ok and xl_backend_ok:
         try:
             xl = large_parity_and_time(W, H, levels=4)
             log(f"XL mesh ({xl['tris']} tris): {xl['frame_ms']:.1f} ms/frame, "

@@ -25,6 +25,14 @@ SRC_OBJ = os.environ.get("REF_ASSETS", "/root/reference") + "/Models/bunny.obj"
 LEVELS = 3  # 4,968 * 4^3 = 317,952 triangles
 
 
+def xl_cache_path(levels: int = LEVELS, workdir: str = "/tmp") -> str:
+    """Path of the pickled HostScene cache load_large_scene writes --
+    derived from the SAME tag scheme as utils.subdiv.make_subdivided_scene
+    so gates (bench.py's large_mesh_xl section) cannot drift from it."""
+    tag = f"subdiv_{os.path.basename(SRC_OBJ).split('.')[0]}_{levels}"
+    return os.path.join(workdir, tag, "Scenes", "scene.txt.host.pkl")
+
+
 def load_large_scene(workdir: str = "/tmp", levels: int = LEVELS):
     """Returns (scene, meta) for the subdivided-bunny scene; the parsed
     HostScene (OBJ parse + smooth normals + octree: ~2 min at 318k tris) is

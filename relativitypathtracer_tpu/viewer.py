@@ -61,7 +61,6 @@ class ViewerCore:
         from .utils.framestate import SimState
 
         self.scene, self.meta = build_scene(host_scene)
-        self.width, self.height = int(width), int(height)
         self.msaa = int(msaa)
         self.stream_scale = int(stream_scale)
         # msaa=1 (the interactive default) uses the resolution-POLYMORPHIC
@@ -70,6 +69,12 @@ class ViewerCore:
         # recompiling (25.4 s first-resize measured in INTERACT_r04.json).
         # msaa>1 keeps the per-size compiled path.
         self._poly = self.msaa == 1
+        if self.stream_scale > 1 and not self._poly:
+            # Device-side stream pooling only exists on the polymorphic
+            # path; silently serving full-size frames while /stats reports
+            # a stream_scale would lie about the fetch size.
+            raise ValueError("stream_scale > 1 requires msaa == 1")
+        self.width, self.height = self._snap(width), self._snap(height)
         self.sim = SimState.initial(self.meta.default_interval)
         self._prev_t: float | None = None
         self.compiling = False  # surfaced in stats while a renderer builds
@@ -110,6 +115,13 @@ class ViewerCore:
         # difference recompile that would otherwise hit the first keypress.
         self._render_dev(self._get_render(self.sim.interval),
                          warm.frame).block_until_ready()
+
+    def _snap(self, v: int) -> int:
+        """Round a logical dimension DOWN to a stream_scale multiple: a
+        ragged final pooled row/column would box-filter off-sensor padding
+        pixels into the displayed frame."""
+        s = self.stream_scale
+        return max((int(v) // s) * s, s)
 
     def _render_dev(self, render, frame_state):
         """Dispatch one device frame with the current camera dirs."""
@@ -154,7 +166,7 @@ class ViewerCore:
         (or the msaa>1 path) compiles once for the new configuration.
         Call ONLY from the render-loop thread (it touches the device);
         frontend threads use request_resize instead."""
-        width, height = int(width), int(height)
+        width, height = self._snap(width), self._snap(height)
         if (width, height) == (self.width, self.height) or width < 32 or height < 32:
             return
         self.width, self.height = width, height

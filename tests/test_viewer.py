@@ -252,3 +252,30 @@ def test_stream_scale_pools_on_device():
     host_pool = np.asarray(a, np.float32).reshape(32, 2, 32, 2, 3).mean((1, 3))
     # device pooling averages BEFORE the uint8 truncation; allow 1.5 lsb
     assert np.abs(host_pool - b.astype(np.float32)).max() <= 1.5
+
+
+def test_stream_scale_requires_msaa1():
+    """Device-side stream pooling only exists on the polymorphic (msaa=1)
+    path; requesting it with msaa>1 must fail loudly instead of serving
+    full-size frames while /stats reports a stream_scale."""
+    from relativitypathtracer_tpu.models.dsl import parse_scene
+    from relativitypathtracer_tpu.viewer import ViewerCore
+
+    with pytest.raises(ValueError, match="stream_scale"):
+        ViewerCore(parse_scene(SCENE), 64, 64, msaa=2, stream_scale=2)
+
+
+def test_resize_snaps_to_stream_scale():
+    """Odd logical sizes snap DOWN to stream_scale multiples: a ragged
+    final pooled row would box-filter off-sensor padding into the frame."""
+    from relativitypathtracer_tpu.models.dsl import parse_scene
+    from relativitypathtracer_tpu.viewer import ViewerCore
+
+    core = ViewerCore(parse_scene(SCENE), 65, 49, stream_scale=2)
+    assert (core.width, core.height) == (64, 48)
+    core.frame(set(), now_s=1.0)
+    core.resize(97, 65)
+    assert (core.width, core.height) == (96, 64)
+    img = core.frame(set(), now_s=1.016)
+    img = core.frame(set(), now_s=1.032)  # past the one-frame pipeline lag
+    assert img.shape == (32, 48, 3)

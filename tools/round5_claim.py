@@ -16,8 +16,8 @@ judge-priority order, writing incrementally so a wedge preserves results:
      flipped-defaults confirmation the followup owed;
   4. per-scene frametimes (bunny/shadows/cubes/arch);
   5. A/Bs: RPT_SHADOW_CULL=none (bunny+shadows), RPT_SUB=16 (bunny),
-     folded-vs-loop MSAA (RPT_MSAA_FOLD=0, msaa=2 and 4 on bunny --
-     VERDICT item 4's missing evidence);
+     folded-vs-loop MSAA (fold pinned via RPT_MSAA_FOLD=1 vs the shipped
+     loop default, msaa=2 and 4 on bunny -- VERDICT item 4's evidence);
   6. device-side fps at 960x540 (the renderer-only interactive capability).
 
 Every artifact carries {"complete": bool, "incomplete_reason": ...}
@@ -333,15 +333,19 @@ def main() -> None:
     step("bunny_sub16", 120, lambda: frametime("bunny"))
     reconfig(RPT_SUB=None)
 
-    # folded vs per-sample-loop MSAA (VERDICT r4 item 4)
+    # folded vs per-sample-loop MSAA (VERDICT r4 item 4). The LOOP became
+    # the default after this A/B landed (commit 3654930), so the baseline
+    # arm must PIN the fold explicitly -- both arms on the ambient default
+    # would measure the loop against itself (the stale-recipe class the r4
+    # advisor flagged for PAIR/SUB).
+    reconfig(RPT_MSAA_FOLD="1")
     step("bunny_msaa2", 150, lambda: frametime("bunny", msaa=2, frames=6))
     step("bunny_msaa4", 240,
          lambda: frametime("bunny", msaa=4, reps=2, frames=4))
-    reconfig(RPT_MSAA_FOLD="0")
+    reconfig(RPT_MSAA_FOLD=None)  # shipped default: the per-sample loop
     step("bunny_msaa2_loop", 150, lambda: frametime("bunny", msaa=2, frames=6))
     step("bunny_msaa4_loop", 240,
          lambda: frametime("bunny", msaa=4, reps=2, frames=4))
-    reconfig(RPT_MSAA_FOLD=None)
 
     # ---------------- device-side interactive capability ----------------
     def device_fps():
