@@ -48,9 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 from . import ray_vma
 
 from .mesh_kernels import (
-    INF, NB, TC, N_ATTR, _mt_mask, _pair_mode, _round_up, _safe_inv,
-    _shadow_cull_mode, _sub_cone_cull, bucket_order, chunk_interleave,
-    split_bf16,
+    INF, NB, TC, N_ATTR, _mt_mask, _pair_mode, _revcone_on, _round_up,
+    _safe_inv, _shadow_cull_mode, _sub_cone_cull, bucket_order,
+    chunk_interleave, split_bf16,
 )
 
 ROWS_SH = 8   # scratch rows per object, shared kernel: [dh(3), s(1), pad(4)]
@@ -116,7 +116,8 @@ def _fill_ray_scratch(mats_ref, d4, o4, scratch, rows: int, O: int):
 
 
 def live_chunk_lists_multi(spheres, chunk_counts, d_os, o_os, s_os,
-                           valid=None, enabled=None, lane_bound_shared=None):
+                           valid=None, enabled=None, lane_bound_shared=None,
+                           endpoints_os=None, seg_len_os=None):
     """Fused live lists over the concatenated pool.
 
     spheres: (C, 4) object-space chunk spheres (object-major concat);
@@ -128,7 +129,10 @@ def live_chunk_lists_multi(spheres, chunk_counts, d_os, o_os, s_os,
     the reference's `i == lightIndex` skip, opencl_kernel.cl:497);
     lane_bound_shared: optional (n_pad,) f32 max useful SHARED ray parameter
     per lane (e.g. a shadow ray's light distance) -- converted per object to
-    its own units for segment culling (mesh_kernels._sub_cone_cull).
+    its own units for segment culling (mesh_kernels._sub_cone_cull);
+    endpoints_os / seg_len_os: optional (O, 3, n_pad) / (O, n_pad)
+    per-object segment endpoints + lengths in OBJECT units for the
+    reversed-cone shadow cull (mesh_kernels._revcone_on).
     Returns (order, key, counts) rank-3 like mesh_kernels.live_chunk_lists,
     with `key` (bucket floors) in SHARED ray-parameter units.
     """
@@ -150,8 +154,10 @@ def live_chunk_lists_multi(spheres, chunk_counts, d_os, o_os, s_os,
         if lane_bound_shared is not None:
             # shared -> this object's units (t_shared = t_obj * s)
             lb_g = lane_bound_shared / jnp.maximum(s_os[g], 1e-12)
-        mind_g, over_g = _sub_cone_cull(spheres[c0:c0 + nck], d_os[g],
-                                        o_os[g], valid, lb_g)
+        mind_g, over_g = _sub_cone_cull(
+            spheres[c0:c0 + nck], d_os[g], o_os[g], valid, lb_g,
+            endpoints=None if endpoints_os is None else endpoints_os[g],
+            seg_len=None if seg_len_os is None else seg_len_os[g])
         c0 += nck
         s_min = jnp.min(s, axis=1, keepdims=True)  # (B, 1) lower bound
         minds.append(mind_g * s_min)
@@ -479,12 +485,21 @@ def batched_min_t_general(cols, spheres, mats, origins4, dir4,
     d_p = jnp.pad(d_os, ((0, 0), (0, 0), (0, pad)), constant_values=1.0)
     o_p = jnp.pad(o_os, ((0, 0), (0, 0), (0, pad)))
     s_p = jnp.pad(s_os, ((0, 0), (0, pad)), constant_values=1.0)
+    endpoints_os = seg_len_os = None
+    if valid is not None and _revcone_on():
+        # Reversed-cone shadow culling (mesh_kernels._revcone_on): each
+        # object sees the light at o + dh * (tmax / s) in its own units --
+        # the exact acceptance boundary of the kernel's shared-unit clamp,
+        # margined like the single-mesh path's tmax_obj.
+        seg_len_os = (tmax_p[0][None, :] * 1.001 + 1e-3) / jnp.maximum(s_p, 1e-12)
+        endpoints_os = o_p + d_p * seg_len_os[:, None, :]
     order, minds, counts = live_chunk_lists_multi(
         spheres, chunk_counts, d_p, o_p, s_p, valid=valid_p, enabled=enabled,
         # Segment culling with the caller's shared-unit bound (the per-object
         # boxfar refinement of the single-mesh path is not worth O extra slab
         # passes here; the in-kernel walk bound still applies it).
-        lane_bound_shared=None if _shadow_cull_mode() == "none" else tmax_p[0])
+        lane_bound_shared=None if _shadow_cull_mode() == "none" else tmax_p[0],
+        endpoints_os=endpoints_os, seg_len_os=seg_len_os)
     chunk_obj = sum(((g,) * c for g, c in enumerate(chunk_counts)), ())
     cobj = jnp.asarray(chunk_obj, jnp.int32)[None, None, :]
     # Per-object chunk-union boxes (object space); disabled objects get an

@@ -264,7 +264,8 @@ def _order2_s() -> int:
     return s
 
 
-def live_chunk_lists2(spheres, dh_p, o_p, valid=None, lane_bound=None, s=8):
+def live_chunk_lists2(spheres, dh_p, o_p, valid=None, lane_bound=None, s=8,
+                      endpoints=None, seg_len=None):
     """Two-level live lists: super-level front-to-back order + chunk bits.
 
     Same contract as live_chunk_lists, but ordering (and its O(C^2)
@@ -281,7 +282,8 @@ def live_chunk_lists2(spheres, dh_p, o_p, valid=None, lane_bound=None, s=8):
     grazes the cone. Group padding reduces as INF / False (dead).
     Returns (order (B, 1, C_s), minds (B, 1, C_s), counts (B, 1, 1),
     bits (B, 1, ceil(C/32)))."""
-    mind_c, over_c = _sub_cone_cull(spheres, dh_p, o_p, valid, lane_bound)
+    mind_c, over_c = _sub_cone_cull(spheres, dh_p, o_p, valid, lane_bound,
+                                    endpoints=endpoints, seg_len=seg_len)
     B, C = mind_c.shape
     C_s = -(-C // s)
     pad = C_s * s - C
@@ -318,7 +320,7 @@ def super_spheres_of(spheres, s):
 
 
 def live_chunk_lists3(spheres, dh_p, o_p, valid=None, lane_bound=None,
-                      s=128):
+                      s=128, endpoints=None, seg_len=None):
     """live_chunk_lists2 for VERY large chunk counts (the 1M+-triangle
     tier): ordering AND distance culling run against SUPER bounding spheres
     (dense sub-cone work is (n_sub, C/s) instead of (n_sub, C), which at
@@ -334,7 +336,8 @@ def live_chunk_lists3(spheres, dh_p, o_p, valid=None, lane_bound=None,
     a skip optimization, extra set bits cost work, never correctness).
     Same output contract as live_chunk_lists2."""
     ssph = super_spheres_of(spheres, s)
-    mind_s, over_s = _sub_cone_cull(ssph, dh_p, o_p, valid, lane_bound)
+    mind_s, over_s = _sub_cone_cull(ssph, dh_p, o_p, valid, lane_bound,
+                                    endpoints=endpoints, seg_len=seg_len)
     order, minds, counts = bucket_order(mind_s, over_s)
     B = dh_p.shape[1] // NB
     d = dh_p.reshape(3, B, NB)
@@ -342,6 +345,22 @@ def live_chunk_lists3(spheres, dh_p, o_p, valid=None, lane_bound=None,
     if valid is not None:
         d, o = _mask_invalid_lanes(d, o, valid)
     _, over_c = _cone_cull(spheres, d, o)
+    if endpoints is not None:
+        # Reversed block cones for the chunk bits too (see _sub_cone_cull):
+        # at XL scale the bits are the per-chunk skip mechanism, so shadow
+        # tightness here is where the lever pays.
+        e = endpoints.reshape(3, B, NB)
+        if valid is not None:
+            _, e = _mask_invalid_lanes(d, e, valid)
+        dr = o - e
+        dr = dr / jnp.maximum(jnp.sqrt(jnp.sum(dr * dr, axis=0)), 1e-12)
+        mind_rc, over_rc = _cone_cull(spheres, dr, e)
+        if seg_len is not None:
+            sl = seg_len.reshape(B, NB)
+            if valid is not None:
+                sl = jnp.where(valid.reshape(B, NB), sl, 0.0)
+            over_rc = over_rc & (mind_rc <= jnp.max(sl, axis=1)[:, None] + 1e-3)
+        over_c = over_c & over_rc
     if valid is not None:
         # A block with zero valid lanes gets a degenerate cone that reads
         # as overlaps-everything; its lanes cannot hit anything.
@@ -357,7 +376,8 @@ def live_chunk_lists3(spheres, dh_p, o_p, valid=None, lane_bound=None,
     return order, minds, counts, pack_bits(over_c)[:, None, :]
 
 
-def live_chunk_lists(spheres, dh_p, o_p, valid=None, lane_bound=None):
+def live_chunk_lists(spheres, dh_p, o_p, valid=None, lane_bound=None,
+                     endpoints=None, seg_len=None):
     """Dense (block, chunk) culling + compaction, all outside the kernel.
 
     spheres: (n_chunks, 4); dh_p/o_p: (3, n_pad) unit dirs / origins.
@@ -376,11 +396,13 @@ def live_chunk_lists(spheres, dh_p, o_p, valid=None, lane_bound=None):
              minds (n_blocks, n_chunks) f32 sorted chunk min-distances,
              counts (n_blocks, 1) i32 live counts).
     """
-    mind, overlap = _sub_cone_cull(spheres, dh_p, o_p, valid, lane_bound)
+    mind, overlap = _sub_cone_cull(spheres, dh_p, o_p, valid, lane_bound,
+                                   endpoints=endpoints, seg_len=seg_len)
     return bucket_order(mind, overlap)
 
 
-def _sub_cone_cull(spheres, dh_p, o_p, valid=None, lane_bound=None):
+def _sub_cone_cull(spheres, dh_p, o_p, valid=None, lane_bound=None,
+                   endpoints=None, seg_len=None):
     """Cull at SUB-cone granularity (NB/SUB-lane groups -- compact 16x16
     pixel quads under the renderer's quadrant swizzle), then reduce to the
     kernels' NB-lane blocks: overlap = any sub overlaps, mind = min over
@@ -388,7 +410,12 @@ def _sub_cone_cull(spheres, dh_p, o_p, valid=None, lane_bound=None):
     chunk, so excluding their sub from the bound loses nothing). Sub-cones
     have ~half the apex radius and angular spread of a full-block cone,
     which is what defeats the fat near-apex cones of surface-origin shadow
-    blocks. Returns (mind, overlap) shaped (n_blocks, n_chunks)."""
+    blocks. endpoints: optional (3, n_pad) per-lane segment endpoints (the
+    light position for shadow rays) -- adds a REVERSED cone test (apex at
+    the endpoints, see _revcone_on); seg_len: optional (n_pad,) per-lane
+    segment length for the reversed distance bound. Both tests are
+    conservative; ANDing them only shrinks live sets.
+    Returns (mind, overlap) shaped (n_blocks, n_chunks)."""
     nb = NB // SUB
     n_sub = dh_p.shape[1] // nb
     d = dh_p.reshape(3, n_sub, nb)
@@ -396,6 +423,29 @@ def _sub_cone_cull(spheres, dh_p, o_p, valid=None, lane_bound=None):
     if valid is not None:
         d, o = _mask_invalid_lanes(d, o, valid)
     mind_s, over_s = _cone_cull(spheres, d, o)  # (n_sub, C)
+    if endpoints is not None:
+        # Reversed cone: apex = the (near-coincident) segment endpoints,
+        # dirs = endpoint -> origin. The endpoint spread takes the o_rad
+        # role in _cone_cull, so lights moving relative to the object (whose
+        # per-lane retarded events smear the apex) stay conservative. Masked
+        # lanes reuse _mask_invalid_lanes so garbage endpoints cannot widen
+        # the cone; a degenerate all-masked sub is dropped by has_valid
+        # below. Dir normalization guards tmax~0 lanes (endpoint == origin):
+        # a garbage direction only WIDENS the cone (cos_a is a min).
+        e = endpoints.reshape(3, n_sub, nb)
+        if valid is not None:
+            _, e = _mask_invalid_lanes(d, e, valid)
+        dr = o - e
+        dr = dr / jnp.maximum(jnp.sqrt(jnp.sum(dr * dr, axis=0)), 1e-12)
+        mind_r, over_r = _cone_cull(spheres, dr, e)
+        if seg_len is not None:
+            # A chunk farther from the light than ANY lane's segment length
+            # cannot contain a point of any segment (margin as lane_bound's).
+            sl = seg_len.reshape(n_sub, nb)
+            if valid is not None:
+                sl = jnp.where(valid.reshape(n_sub, nb), sl, 0.0)
+            over_r = over_r & (mind_r <= jnp.max(sl, axis=1)[:, None] + 1e-3)
+        over_s = over_s & over_r
     if valid is not None:
         # A sub with ZERO valid lanes gets a degenerate all-zero cone from
         # _mask_invalid_lanes, which the overlap test reads as "overlaps
@@ -701,6 +751,24 @@ def shared_nearest_hit(consts, c_t, attrs, spheres, dh, ro, interpret=False,
     return bt[0, :n], bu[0, :n], bv[0, :n], btri[0, :n], battr[:, :n]
 
 
+def _revcone_on() -> bool:
+    """REVERSED-cone shadow culling (RPT_REVCONE=1, trace-time).
+
+    Every shadow segment for one point light ENDS at the same place: the
+    light's position in the walked object's frame (endpoint = o + dh *
+    tmax_obj, exact by linearity of the boost+affine chain). Culling with a
+    second cone whose apex sits AT the light therefore has ~zero apex radius
+    and a half-angle set by the surface patch as seen FROM the light --
+    tight exactly where the forward cone is weakest ("the fat near-apex
+    cones of surface-origin shadow blocks", _sub_cone_cull). A chunk must
+    overlap BOTH cones (and lie within the light's maximum segment length)
+    to stay live. Output is BIT-IDENTICAL: the general kernels clamp their
+    result at tmax, and every hit below tmax lies ON its lane's segment,
+    which both cones contain (see test_revcone_exact). Default OFF until
+    measured on-chip (repo convention); A/B one process per mode."""
+    return os.environ.get("RPT_REVCONE", "").strip() == "1"
+
+
 def _shadow_cull_mode() -> str:
     """Segment-culling mode for the general (shadow) kernel's live lists.
 
@@ -878,6 +946,7 @@ def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, valid=None,
     n = r10.shape[1]
     n_pad = _round_up(n, NB)
     r10_p = jnp.pad(r10, ((0, 0), (0, n_pad - n)), constant_values=1.0)
+    bounded = tmax_obj is not None
     if tmax_obj is None:
         tmax_obj = jnp.full((n,), INF, jnp.float32)
     if tcut_obj is None:
@@ -891,14 +960,25 @@ def general_min_t(cols_grouped, spheres, r10, tmax_obj=None, valid=None,
     box = jnp.concatenate([lo, hi])[None, :]  # (1, 6) scalars
     s2 = _order2_s()
     lane_bound = _general_lane_bound(tmax_p[0], r10_p, lo, hi)
+    endpoints = seg_len = None
+    if bounded and valid is not None and _revcone_on():
+        # Per-lane segment endpoint: o + dh * tmax_obj -- for shadow rays,
+        # the light's position in this object's frame (identical across
+        # lanes when the light is static relative to the object; spread is
+        # handled conservatively either way). tmax_obj already carries the
+        # caller's bound margin, so the reversed cone covers every hit the
+        # clamped result can expose.
+        endpoints = r10_p[6:9] + r10_p[0:3] * tmax_p[0][None, :]
+        seg_len = tmax_p[0]
     if s2:
         order, minds, counts, bits = live_chunk_lists2(
             spheres, r10_p[0:3], r10_p[6:9], valid=valid_p,
-            lane_bound=lane_bound, s=s2)
+            lane_bound=lane_bound, s=s2, endpoints=endpoints,
+            seg_len=seg_len)
     else:
         order, minds, counts = live_chunk_lists(
             spheres, r10_p[0:3], r10_p[6:9], valid=valid_p,
-            lane_bound=lane_bound)
+            lane_bound=lane_bound, endpoints=endpoints, seg_len=seg_len)
 
     kernel = functools.partial(_general_kernel, T=T_pad, T_pad=T_pad,
                                pair=_pair_mode(), s2=s2)

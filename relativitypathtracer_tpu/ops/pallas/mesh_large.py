@@ -117,7 +117,8 @@ def pack_attr_records(attrs_split, T_pad):
     return a.reshape(C * REC_AT, 128)
 
 
-def large_live_lists(spheres, dh_p, o_p, valid=None, lane_bound=None):
+def large_live_lists(spheres, dh_p, o_p, valid=None, lane_bound=None,
+                     endpoints=None, seg_len=None):
     """Super-level front-to-back order + chunk-level live bits.
 
     Ordering (and its O(C_s^2) inversion) runs at superchunk granularity;
@@ -136,9 +137,11 @@ def large_live_lists(spheres, dh_p, o_p, valid=None, lane_bound=None):
     C = spheres.shape[0]
     if C <= SUPER_CULL_C:
         return live_chunk_lists2(spheres, dh_p, o_p, valid, lane_bound,
-                                 s=S_SUPER)
+                                 s=S_SUPER, endpoints=endpoints,
+                                 seg_len=seg_len)
     return live_chunk_lists3(spheres, dh_p, o_p, valid, lane_bound,
-                             s=S_SUPER_XL)
+                             s=S_SUPER_XL, endpoints=endpoints,
+                             seg_len=seg_len)
 
 
 def _shared_large_kernel(order_ref, minds_ref, count_ref, bits_ref, box_ref,
@@ -426,6 +429,7 @@ def large_general_min_t(cols_rec, spheres, r10, tmax_obj=None,
     n = r10.shape[1]
     n_pad = _round_up(n, NB)
     r10_p = jnp.pad(r10, ((0, 0), (0, n_pad - n)), constant_values=1.0)
+    bounded = tmax_obj is not None
     if tmax_obj is None:
         tmax_obj = jnp.full((n,), INF, jnp.float32)
     if tcut_obj is None:
@@ -436,11 +440,18 @@ def large_general_min_t(cols_rec, spheres, r10, tmax_obj=None,
     lo = jnp.min(spheres[:, :3] - spheres[:, 3:4], axis=0)
     hi = jnp.max(spheres[:, :3] + spheres[:, 3:4], axis=0)
     box = jnp.concatenate([lo, hi])[None, :]
-    from .mesh_kernels import _general_lane_bound
+    from .mesh_kernels import _general_lane_bound, _revcone_on
 
+    endpoints = seg_len = None
+    if bounded and valid is not None and _revcone_on():
+        # Reversed-cone shadow culling (see mesh_kernels._revcone_on):
+        # endpoint = the light position in object space, exact per lane.
+        endpoints = r10_p[6:9] + r10_p[0:3] * tmax_p[0][None, :]
+        seg_len = tmax_p[0]
     order, minds, counts, bits = large_live_lists(
         spheres, r10_p[0:3], r10_p[6:9], valid=valid_p,
-        lane_bound=_general_lane_bound(tmax_p[0], r10_p, lo, hi))
+        lane_bound=_general_lane_bound(tmax_p[0], r10_p, lo, hi),
+        endpoints=endpoints, seg_len=seg_len)
 
     C_s = order.shape[2]
     kernel = functools.partial(_general_large_kernel, C=C, S=_super_s(C), T=T)

@@ -75,7 +75,8 @@ def test_ab_matrix_names_exist_in_sequence():
     src = "".join(
         (repo / "tools" / t).read_text()
         for t in ("round4_one_claim.py", "round4_followup.py",
-                  "round5_claim.py", "round5_followup.py")
+                  "round5_claim.py", "round5_followup.py",
+                  "round5_levers.py")
         if (repo / "tools" / t).exists())
     for pairs in decide_flips.AB_MATRIX.values():
         for base, ab in pairs:

@@ -98,6 +98,7 @@ def test_scene_kernels_fit_vmem(name, reference_root):
     {"RPT_ABOUND": "1"},
     {"RPT_SUB": "4"},
     {"RPT_SUB": "16"},
+    {"RPT_REVCONE": "1"},
 ])
 def test_knob_combo_kernels_fit_vmem(env, reference_root, monkeypatch):
     if "RPT_SUB" in env:

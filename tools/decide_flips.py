@@ -62,6 +62,13 @@ AB_MATRIX = {
     "RPT_ANALYTIC_DIRECT=99 (FLIP = adopt direct route)": [
         ("bunny", "bunny_adirect"), ("shadows", "shadows_adirect"),
         ("cubes", "cubes_adirect"), ("arch", "arch_adirect")],
+    # Reversed-shadow-cone culling (ROUND5_LEVERS.json, tools/
+    # round5_levers.py): only the mesh-shadow scenes -- arch/cubes have no
+    # meshes, the knob is inert there. The XL pair rides the same artifact
+    # but is advisory (single rep, cache-gated); the flip key is
+    # bunny+shadows. Exactness gate: revcone_exact.max_diff ~ 0.
+    "RPT_REVCONE=1 (reversed shadow cone; FLIP = adopt)": [
+        ("bunny", "bunny_revcone"), ("shadows", "shadows_revcone")],
 }
 
 # Pre-flip generation, frozen: these step names were produced by the
