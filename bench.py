@@ -177,6 +177,19 @@ def main():
         }), flush=True)
         sys.exit(4)
 
+    if os.environ.get("RPT_POST_DIAG", "").strip():
+        # The post-pipeline diagnostic stubs render WRONG images (see
+        # render._post_diag); a leaked env var must never shape an official
+        # headline or parity section.
+        wd.cancel()
+        print(json.dumps({
+            "metric": f"total Mrays/s, bunny.txt {W}x{H} (primary+shadow), p50",
+            "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+            "error": "RPT_POST_DIAG is set (diagnostic stub renders); "
+                     "refusing to record as an official artifact",
+        }), flush=True)
+        sys.exit(5)
+
     from relativitypathtracer_tpu import __version__, build_scene, load_scene_file
     from relativitypathtracer_tpu.utils.jaxcache import enable as _enable_cache
 

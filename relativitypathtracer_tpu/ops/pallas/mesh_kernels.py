@@ -764,8 +764,15 @@ def _revcone_on() -> bool:
     overlap BOTH cones (and lie within the light's maximum segment length)
     to stay live. Output is BIT-IDENTICAL: the general kernels clamp their
     result at tmax, and every hit below tmax lies ON its lane's segment,
-    which both cones contain (see test_revcone_exact). Default OFF until
-    measured on-chip (repo convention); A/B one process per mode."""
+    which both cones contain (see test_revcone_exact).
+
+    MEASURED round 5 (ROUND5_LEVERS.json, on-chip, exact: max_diff 0.0):
+    LOSS on both mesh-shadow scenes -- bunny 7.09 -> 7.53 ms, shadows
+    7.00 -> 7.54 ms. Both corpus lights sit CLOSE to their meshes, so the
+    patch subtends a wide angle from the light and the reversed cone culls
+    ~nothing, while the second dense cull pass doubles the shadow
+    list-build cost. Stays opt-in for far-light scenes (the synthetic
+    regime where test_revcone_shrinks_live_lists proves the shrink)."""
     return os.environ.get("RPT_REVCONE", "").strip() == "1"
 
 

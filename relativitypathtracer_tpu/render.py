@@ -62,6 +62,23 @@ def _analytic_direct_max() -> int:
     return int(v) if v else 0
 
 
+def _post_diag() -> str:
+    """RPT_POST_DIAG (trace-time, DIAGNOSTIC ONLY -- renders a WRONG image):
+    full-frame differential attribution of the post-intersect pipeline.
+    The round-5 stage-isolated timings were self-contradictory (attrib3:
+    unswizzle alone 0.96 ms but tonemap+unswizzle together 0.21 ms --
+    isolation forces materialization the fused graph never pays), so the
+    shares are measured the way the repo trusts: full-frame deltas with one
+    piece stubbed out.
+      "notex": hit_color = flat object color (texture sampling AND its
+               address math dropped from the graph);
+      "noswz": tile_unswizzle replaced by identity (image scrambled);
+      "notm":  Hable tonemap curve replaced by identity (layout ops kept).
+    Never set outside the attribution tools; parity/bench guard against it
+    (bench.py aborts official runs with any RPT_POST_DIAG set)."""
+    return os.environ.get("RPT_POST_DIAG", "").strip()
+
+
 class FrameState(NamedTuple):
     """Serializable per-frame camera state; the only traced per-frame input.
 
@@ -313,7 +330,12 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     textured = tex_off != -1
     tex_w = jnp.maximum(sel[1], 1)
     tex_h = jnp.maximum(sel[2], 1)
-    if meta.use_footprint_tex:
+    flat_rgb = jnp.matmul(objects.color.T, obj_onehot_f)  # (3, N)
+    if _post_diag() == "notex":
+        # Diagnostic (wrong image): texture sampling + address math dropped
+        # so a full-frame delta attributes their true fused cost.
+        tex_rgb = flat_rgb
+    elif meta.use_footprint_tex:
         from .ops.pallas.texture_kernel import (
             footprint_sample_small, footprint_sample_windowed, texture_route)
 
@@ -343,7 +365,6 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
         tex_rgb = bilinear_sample_packed(
             scene.textures_packed, jnp.maximum(tex_off, 0) // 3, tex_w, tex_h, uv
         )
-    flat_rgb = jnp.matmul(objects.color.T, obj_onehot_f)  # (3, N)
     hit_color = jnp.where(textured[None, :], tex_rgb, flat_rgb)
 
     L_hit = gather_mats(L, obj_onehot_f)  # (4, 4, N)
@@ -577,8 +598,13 @@ def build_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
                 acc = acc + c
                 aux_acc = (aux if aux_acc is None
                            else jax.tree.map(jnp.add, aux_acc, aux))
-            color = tile_unswizzle(acc / float(dirs_const.shape[0]), ph, pw)
-        img = tonemap(color.T, scene.white_point).reshape(ph, pw, 3)
+            c_mean = acc / float(dirs_const.shape[0])
+            color = (c_mean if _post_diag() == "noswz"  # diag: scrambled img
+                     else tile_unswizzle(c_mean, ph, pw))
+        if _post_diag() == "notm":  # diag: no Hable curve, layout ops kept
+            img = color.T.reshape(ph, pw, 3)
+        else:
+            img = tonemap(color.T, scene.white_point).reshape(ph, pw, 3)
         img = img[:height, :width]
         if out_uint8:
             img = (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)

@@ -67,6 +67,8 @@ AB_MATRIX = {
     # meshes, the knob is inert there. The XL pair rides the same artifact
     # but is advisory (single rep, cache-gated); the flip key is
     # bunny+shadows. Exactness gate: revcone_exact.max_diff ~ 0.
+    # MEASURED 2026-08-19: KEEP (bunny -6.3%, shadows -7.8% -- the corpus
+    # lights sit close to their meshes; see PERF.md "what lost").
     "RPT_REVCONE=1 (reversed shadow cone; FLIP = adopt)": [
         ("bunny", "bunny_revcone"), ("shadows", "shadows_revcone")],
 }

@@ -198,7 +198,7 @@ def main() -> None:
                                         nbatch=2, batch=6)
         return round(min(samples), 3)
 
-    xl_cached = OFFICIAL and os.path.exists(xl_cache_path(4) + ".host.pkl")
+    xl_cached = OFFICIAL and os.path.exists(xl_cache_path(4))
     if xl_cached:
         step("xl_revcone", 240, xl_time)
     else:
