@@ -64,8 +64,8 @@ def _address_lanes(quads_rows, fp, width, height, uv):
     return addr_i, addr_f
 
 
-def _tex_kernel(quads_ref, ai_ref, af_ref, out_ref):
-    rq = quads_ref.shape[0]
+def _tex_kernel(table_ref, ai_ref, af_ref, out_ref):
+    rq = table_ref.shape[0]
     row = ai_ref[0, :]  # (NB,)
     hi_half = ai_ref[1, :] != 0
     u_ratio = af_ref[0, :]
@@ -74,35 +74,34 @@ def _tex_kernel(quads_ref, ai_ref, af_ref, out_ref):
     v_opp = 1.0 - v_ratio
     nb = row.shape[0]
 
-    # One-hot row fetch on the MXU: atlas^T (8, Rq) @ onehot (Rq, NB).
+    # One-hot row fetch on the MXU: table^T (24, Rq) @ onehot (Rq, NB).
+    # The table arrives CHANNEL-SPLIT (see footprint_sample_small): every
+    # value is an integer < 256, exact in bf16, and the one-hot leaves a
+    # single nonzero product per output -- so Mosaic's DEFAULT bf16 dot is
+    # bit-exact here in ONE pass. The previous packed-u32 variant needed
+    # Precision.HIGHEST (6 bf16 passes) to protect 24-bit texels plus an
+    # integer unpack of the result; the split costs 3x the VMEM table
+    # (still tiny) and deletes both (measured r5: the texture share of the
+    # bunny frame, ROUND5_POST.json).
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (rq, nb), 0) == row[None, :]
     ).astype(jnp.float32)
-    # Mosaic lacks u32->f32; the table arrives as i32 (values < 2^24, so the
-    # reinterpretation outside the kernel is lossless).
-    table = quads_ref[:].astype(jnp.float32)  # (Rq, 8)
-    # Precision.HIGHEST: Mosaic's default f32 dot runs bf16 passes, which
-    # truncates the 24-bit packed texels (low 16 bits lost -> wrong R/G).
     rows = jax.lax.dot_general(
-        table, onehot, (((0,), (0,)), ((), ())),
+        table_ref[:], onehot, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (8, NB)
-
-    quad = jnp.where(hi_half[None, :], rows[4:8], rows[0:4]).astype(jnp.int32)
-    r = (quad & 0xFF).astype(jnp.float32) / 255.0  # (4, NB)
-    g = ((quad >> 8) & 0xFF).astype(jnp.float32) / 255.0
-    b = ((quad >> 16) & 0xFF).astype(jnp.float32) / 255.0
+    )  # (24, NB): [R(8) | G(8) | B(8)] per fetched atlas row
 
     # taps: [(x0,y0), (x1,y0), (x1,y1), (x2,y1)] -- reference order
-    def mix(t):  # t: (4, NB) one channel's taps
-        row1 = t[0] * u_opp + t[1] * u_ratio
-        row2 = t[2] * u_ratio + t[3] * u_opp
+    def mix(ch):  # channel offset in the split rows
+        quad = jnp.where(hi_half[None, :], rows[ch + 4:ch + 8],
+                         rows[ch:ch + 4]) / 255.0  # (4, NB)
+        row1 = quad[0] * u_opp + quad[1] * u_ratio
+        row2 = quad[2] * u_ratio + quad[3] * u_opp
         return row1 * v_opp + row2 * v_ratio
 
-    out_ref[0, :] = mix(r)
-    out_ref[1, :] = mix(g)
-    out_ref[2, :] = mix(b)
+    out_ref[0, :] = mix(0)
+    out_ref[1, :] = mix(8)
+    out_ref[2, :] = mix(16)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -119,13 +118,22 @@ def footprint_sample_small(quads, fp, width, height, uv, interpret=False):
     addr_i, addr_f = _address_lanes(rq, fp, width, height, uv)
     ai_p = jnp.pad(addr_i, ((0, 0), (0, pad)))
     af_p = jnp.pad(addr_f, ((0, 0), (0, pad)))
-    quads = jax.lax.bitcast_convert_type(quads, jnp.int32)  # values < 2^24
+    # Channel-split f32 table [R(8) | G(8) | B(8)] per atlas row: every
+    # value < 256 is bf16-exact, so the kernel's one-hot fetch runs ONE
+    # DEFAULT-precision MXU pass (see _tex_kernel). Built outside the
+    # kernel (u32 ops are XLA-side); 3x the VMEM of the packed table, still
+    # <= 96 KB at MAX_ROWS.
+    q = jax.lax.bitcast_convert_type(quads, jnp.int32)  # values < 2^24
+    table = jnp.concatenate(
+        [(q & 0xFF).astype(jnp.float32),
+         ((q >> 8) & 0xFF).astype(jnp.float32),
+         ((q >> 16) & 0xFF).astype(jnp.float32)], axis=1)  # (Rq, 24)
 
     out = pl.pallas_call(
         _tex_kernel,
         grid=(n_pad // NB,),
         in_specs=[
-            pl.BlockSpec((rq, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rq, 24), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, NB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -133,7 +141,7 @@ def footprint_sample_small(quads, fp, width, height, uv, interpret=False):
         out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32,
                                        vma=ray_vma(ai_p, af_p)),
         interpret=interpret,
-    )(quads, ai_p, af_p)
+    )(table, ai_p, af_p)
     return out[:, :n]
 
 

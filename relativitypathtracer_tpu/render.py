@@ -493,6 +493,28 @@ def tile_unswizzle(img_vec, ph, pw, p=TILE):
     return x.transpose(0, 1, 3, 5, 2, 4, 6).reshape(k, ph * pw)
 
 
+def tile_unswizzle_hwc(img_vec, ph, pw, p=TILE):
+    """(k, ph*pw) block-major -> (ph, pw, k) image: the unswizzle AND the
+    channels-last transpose as ONE relayout op. The split pipeline
+    (tile_unswizzle then .T before tonemap) pays two XLA transposes; the
+    round-5 attribution put the unswizzle share at 0.41 ms/frame on bunny
+    (ROUND5_POST.json), so the fused variant (RPT_FUSED_OUT) moves tonemap
+    BEFORE the relayout (elementwise -- commutes exactly) and emits the
+    final image layout directly. Values are bit-identical to
+    tile_unswizzle(v).T.reshape(ph, pw, k) (test_render_features)."""
+    k = img_vec.shape[0]
+    h = p // 2
+    x = img_vec.reshape(k, ph // p, pw // p, 2, 2, h, h)
+    return x.transpose(1, 3, 5, 2, 4, 6, 0).reshape(ph, pw, k)
+
+
+def _fused_out() -> bool:
+    """RPT_FUSED_OUT=1 (trace-time): tonemap on the swizzled (3, N) layout,
+    then ONE fused unswizzle+HWC relayout (tile_unswizzle_hwc) instead of
+    unswizzle + .T. Exact; default OFF until the on-chip A/B lands."""
+    return os.environ.get("RPT_FUSED_OUT", "").strip() == "1"
+
+
 def msaa_swizzle(dirs_samples, ph, pw, m):
     """Fold msaa^2 sample sets into the ray axis, patch-major: each
     1024-lane kernel block covers a (32/m)^2-pixel patch WITH ALL ITS
@@ -599,11 +621,23 @@ def build_render_fn(meta: SceneMeta, width: int, height: int, interval: int,
                 aux_acc = (aux if aux_acc is None
                            else jax.tree.map(jnp.add, aux_acc, aux))
             c_mean = acc / float(dirs_const.shape[0])
-            color = (c_mean if _post_diag() == "noswz"  # diag: scrambled img
-                     else tile_unswizzle(c_mean, ph, pw))
-        if _post_diag() == "notm":  # diag: no Hable curve, layout ops kept
+            color = None
+            if _fused_out() and not _post_diag():
+                # tonemap first (elementwise, fuses into the shade tail),
+                # then ONE relayout straight to the image layout instead of
+                # unswizzle + .T (two XLA transposes, 0.41 ms attributed on
+                # bunny, ROUND5_POST.json).
+                from .ops.tonemap import hable
+
+                tm = jnp.minimum(
+                    hable(c_mean) / hable(scene.white_point)[:, None], 1.0)
+                img = tile_unswizzle_hwc(tm, ph, pw)
+            else:
+                color = (c_mean if _post_diag() == "noswz"  # diag: scrambled
+                         else tile_unswizzle(c_mean, ph, pw))
+        if color is not None and _post_diag() == "notm":  # diag: no curve
             img = color.T.reshape(ph, pw, 3)
-        else:
+        elif color is not None:
             img = tonemap(color.T, scene.white_point).reshape(ph, pw, 3)
         img = img[:height, :width]
         if out_uint8:

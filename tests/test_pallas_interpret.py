@@ -481,6 +481,41 @@ def test_interpret_windowed_texture_kernel_exact():
     assert np.abs(ref - got).max() < 1e-5
 
 
+@pytest.mark.fast
+def test_interpret_small_texture_kernel_exact():
+    """footprint_sample_small vs the jnp reference sampler at the kernel
+    level. The kernel fetches through a CHANNEL-SPLIT one-hot MXU dot at
+    DEFAULT precision -- exact because every split value is an integer
+    < 256 (bf16-exact) and the one-hot leaves one nonzero product per
+    output; this test is the pin for that precision argument. Covers the
+    hi/lo half select and the uv clamp edges."""
+    import jax.numpy as jnp
+
+    from relativitypathtracer_tpu.ops.pallas.texture_kernel import (
+        MAX_ROWS, footprint_sample_small)
+    from relativitypathtracer_tpu.ops.texture_sample import (
+        bilinear_sample_footprint)
+
+    rng = np.random.default_rng(5)
+    n = 4096
+    w, h = 32, 48  # small bunny-like region, atlas within MAX_ROWS
+    wb = w // 16
+    rows = (wb * (h // 16) * 256) * 4 // 8
+    assert rows <= MAX_ROWS
+    quads = jnp.asarray(rng.integers(0, 2 ** 24, (rows, 8), dtype=np.uint32))
+    fp = jnp.asarray(np.broadcast_to(
+        np.array([0, 0, 0, wb, w, h], np.int32)[:, None], (6, n)))
+    wa = jnp.full((n,), w, jnp.int32)
+    ha = jnp.full((n,), h, jnp.int32)
+    uv = rng.random((2, n)).astype(np.float32)
+    uv[0, :512] = 0.999  # u at the x-clamp (reference tap quirk region)
+    uv[1, 512:1024] = 0.001  # v ~ 1-eps -> last rows
+    ref = np.asarray(bilinear_sample_footprint(quads, fp, wa, ha, jnp.asarray(uv)))
+    got = np.asarray(footprint_sample_small(
+        quads, fp, wa, ha, jnp.asarray(uv), interpret=True))
+    assert np.abs(ref - got).max() < 1e-5
+
+
 def test_live_objects_culling_is_conservative():
     """Property: an object whose jnp-path intersection reports ANY hit in a
     block must appear in that block's live list (the conservative cone

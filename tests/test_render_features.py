@@ -95,3 +95,41 @@ def test_render_uint8_matches_host_packing(reference_root):
                          out_uint8=True)(scene, state)
     assert np.asarray(u8).dtype == np.uint8
     np.testing.assert_array_equal(np.asarray(u8), to_uint8(np.asarray(f32)))
+
+
+def test_fused_out_is_bit_identical(reference_root, monkeypatch):
+    """RPT_FUSED_OUT=1 (tonemap before ONE unswizzle+HWC relayout) must be
+    bit-identical to the split unswizzle + .T + tonemap pipeline: the Hable
+    curve is elementwise, so it commutes with any pixel permutation."""
+    import pytest as _pytest
+
+    from relativitypathtracer_tpu.render import build_render_fn
+
+    host = load_scene_file(str(reference_root / "Scenes" / "cube.txt"))
+    scene, meta = build_scene(host)
+    state = FrameState.initial()
+    build_render_fn.cache_clear()
+    base = np.asarray(
+        build_render_fn(meta, 96, 64, meta.default_interval)(scene, state))
+    monkeypatch.setenv("RPT_FUSED_OUT", "1")
+    build_render_fn.cache_clear()  # knob read at trace time
+    try:
+        fused = np.asarray(
+            build_render_fn(meta, 96, 64, meta.default_interval)(scene, state))
+    finally:
+        build_render_fn.cache_clear()
+    np.testing.assert_array_equal(base, fused)
+
+
+def test_tile_unswizzle_hwc_identity():
+    """tile_unswizzle_hwc == tile_unswizzle(v).T.reshape(ph, pw, k) on an
+    arbitrary vector (pure relayout equivalence)."""
+    from relativitypathtracer_tpu.render import (
+        tile_unswizzle, tile_unswizzle_hwc)
+
+    rng = np.random.default_rng(9)
+    ph, pw = 64, 96
+    v = jnp.asarray(rng.standard_normal((3, ph * pw)).astype(np.float32))
+    a = np.asarray(tile_unswizzle(v, ph, pw)).T.reshape(ph, pw, 3)
+    b = np.asarray(tile_unswizzle_hwc(v, ph, pw))
+    np.testing.assert_array_equal(a, b)

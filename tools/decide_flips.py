@@ -71,6 +71,19 @@ AB_MATRIX = {
     # lights sit close to their meshes; see PERF.md "what lost").
     "RPT_REVCONE=1 (reversed shadow cone; FLIP = adopt)": [
         ("bunny", "bunny_revcone"), ("shadows", "shadows_revcone")],
+    # Fused output relayout (ROUND5_POST2.json, tools/round5_post2.py):
+    # tonemap before ONE unswizzle+HWC relayout instead of unswizzle + .T.
+    # Bit-identical (test_fused_out_is_bit_identical + the claim's
+    # fout_exact); the attributed unswizzle share is 0.41 ms on bunny.
+    "RPT_FUSED_OUT=1 (fused output relayout; FLIP = adopt)": [
+        ("bunny", "bunny_fout"), ("arch", "arch_fout")],
+    # Windowed texture kernel for MID atlases only (cap 65536 rows --
+    # cube.txt's 32k-row atlas, ROUND5_POST2.json). Distinct from the
+    # retired BIG-atlas routing: r4's texprobe proved the kernel exact and
+    # wedge-free on this very atlas (max_diff 0.0), so the r4 exactness
+    # gate is already satisfied; this entry is purely the speed verdict.
+    "windowed texture MID cap 65536 (FLIP = adopt for cube-size atlases)": [
+        ("cube", "cube_windowed")],
 }
 
 # Pre-flip generation, frozen: these step names were produced by the
