@@ -169,15 +169,17 @@ W_GRP = W_ROWS // 16
 # pathological spreads beyond the corpus (the flat ~3 ms XLA row gather is
 # the fallback floor).
 WINDOWED_MAX_ROWS = 1_100_000
-# The windowed kernel is the prime suspect for the round-3 relay wedges
+# The windowed kernel was the prime suspect for the round-3 relay wedges
 # (ROADMAP: first arch.txt run after the Morton re-layout, then texprobe on
-# cube.txt). The fixes (HBM-pinned atlas, XLA-side address math, shift-free
-# tile_slot) are CPU-verified only, so until a texprobe run PASSES on a live
-# chip the kernel stays opt-in: by default every atlas above MAX_ROWS takes
-# the TPU-proven XLA gather, and RPT_WINDOWED_MAX_ROWS (or flipping this
-# gate after on-chip proof) re-enables it. An autonomous end-of-round bench
-# must never wedge on an unproven kernel.
+# cube.txt). Round 4 proved it EXACT and wedge-free on-chip (texprobe
+# max_diff 0.0, on cube.txt's 32k-row atlas) but 14-21x SLOWER than the
+# flat XLA gather on the 1024^2 (524k-row) atlases, where heavy
+# minification makes a block's footprint row-range span most of the atlas.
+# WINDOWED_PROVEN therefore stays False for BIG atlases; the MID tier
+# (<= WINDOWED_MID_CAP rows) was adopted in round 5 on a measured win at
+# the proven size (ROUND5_POST2.json: cube.txt 5.951 -> 5.630 ms, +5.4%).
 WINDOWED_PROVEN = False
+WINDOWED_MID_CAP = 65_536
 
 
 def windowed_max_rows() -> int:
@@ -185,13 +187,14 @@ def windowed_max_rows() -> int:
 
     `RPT_WINDOWED_MAX_ROWS` overrides: `0` disables the windowed path
     entirely, any other integer replaces the cap. Without the env var the
-    cap is WINDOWED_MAX_ROWS when WINDOWED_PROVEN else 0 (see above). Read
-    at trace time: set it before the first render compile of the process.
+    cap is WINDOWED_MAX_ROWS when WINDOWED_PROVEN else WINDOWED_MID_CAP
+    (see above). Read at trace time: set it before the first render compile
+    of the process.
     """
     v = os.environ.get("RPT_WINDOWED_MAX_ROWS")
     if v is not None and v.strip():
         return int(v)
-    return WINDOWED_MAX_ROWS if WINDOWED_PROVEN else 0
+    return WINDOWED_MAX_ROWS if WINDOWED_PROVEN else WINDOWED_MID_CAP
 
 
 def texture_route(rq: int, use_pallas: bool) -> str:

@@ -72,6 +72,9 @@ def _post_diag() -> str:
     piece stubbed out.
       "notex": hit_color = flat object color (texture sampling AND its
                address math dropped from the graph);
+      "nofetch": the footprint ADDRESS math stays live but the fetch
+               kernel/gather is dropped -- (notex - nofetch) isolates the
+               address share, (base - nofetch) the fetch share;
       "noswz": tile_unswizzle replaced by identity (image scrambled);
       "notm":  Hable tonemap curve replaced by identity (layout ops kept).
     Never set outside the attribution tools; parity/bench guard against it
@@ -335,6 +338,18 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
         # Diagnostic (wrong image): texture sampling + address math dropped
         # so a full-frame delta attributes their true fused cost.
         tex_rgb = flat_rgb
+    elif _post_diag() == "nofetch" and meta.use_footprint_tex:
+        # Diagnostic (wrong image): address math LIVE, fetch dropped. The
+        # zero-weighted mix cannot be folded away (XLA has no value-range
+        # proof that the addresses are non-negative) and adds exactly 0.0.
+        from .ops.pallas.texture_kernel import _address_lanes
+
+        fp = sel[3:9]
+        ai, af = _address_lanes(scene.tex_quads.shape[0], fp, tex_w, tex_h,
+                                uv)
+        keep = (jnp.minimum(af[0] * 1e-30, 0.0)
+                + jnp.minimum(ai[0].astype(jnp.float32) * 1e-30, 0.0))
+        tex_rgb = flat_rgb + keep[None, :]
     elif meta.use_footprint_tex:
         from .ops.pallas.texture_kernel import (
             footprint_sample_small, footprint_sample_windowed, texture_route)

@@ -20,8 +20,12 @@ from relativitypathtracer_tpu.ops.pallas import texture_kernel as tk
 def test_route_defaults():
     assert tk.texture_route(100, use_pallas=True) == "small"
     assert tk.texture_route(tk.MAX_ROWS, True) == "small"
-    # Windowed is opt-in until on-chip proof (WINDOWED_PROVEN False).
-    assert tk.texture_route(tk.MAX_ROWS + 1, True) == "gather"
+    # MID tier (adopted r5 on a measured win at the r4-texprobe-proven
+    # size, ROUND5_POST2.json): windowed up to WINDOWED_MID_CAP rows.
+    assert tk.texture_route(tk.MAX_ROWS + 1, True) == "windowed"
+    assert tk.texture_route(tk.WINDOWED_MID_CAP, True) == "windowed"
+    # BIG atlases stay on the gather (windowed measured 14-21x slower r4).
+    assert tk.texture_route(tk.WINDOWED_MID_CAP + 1, True) == "gather"
     assert tk.texture_route(tk.WINDOWED_MAX_ROWS, True) == "gather"
     # Without Pallas everything is the XLA gather.
     assert tk.texture_route(100, use_pallas=False) == "gather"
@@ -51,19 +55,20 @@ def test_route_env_overrides(monkeypatch):
     assert tk.texture_route(tk.MAX_ROWS + 1, True) == "windowed"
 
 
-def test_windowed_opt_in_end_to_end(reference_root, monkeypatch):
-    """cube.txt's 1024^2 atlas takes the XLA gather by default; opting the
-    windowed kernel in (RPT_WINDOWED_MAX_ROWS) must produce the same image
-    (the fetch is exact in both paths)."""
+def test_windowed_mid_default_end_to_end(reference_root, monkeypatch):
+    """cube.txt's mid-size (32k-row) atlas takes the windowed kernel BY
+    DEFAULT since r5; forcing it back to the gather (RPT_WINDOWED_MAX_ROWS=0)
+    must produce the same image (the fetch is exact in both paths)."""
     host = load_scene_file(str(reference_root / "Scenes" / "cube.txt"))
     scene, meta = build_scene(host)
     rq = int(scene.tex_quads.shape[0])
     assert rq > tk.MAX_ROWS, "cube.txt atlas should exceed the small-kernel cap"
-    assert tk.texture_route(rq, True) == "gather"
-    via_gather = _render(scene, meta, "interpret")
-
-    monkeypatch.setenv("RPT_WINDOWED_MAX_ROWS", str(tk.WINDOWED_MAX_ROWS))
+    assert rq <= tk.WINDOWED_MID_CAP, "cube.txt atlas should sit in the MID tier"
     assert tk.texture_route(rq, True) == "windowed"
     via_windowed = _render(scene, meta, "interpret")
+
+    monkeypatch.setenv("RPT_WINDOWED_MAX_ROWS", "0")
+    assert tk.texture_route(rq, True) == "gather"
+    via_gather = _render(scene, meta, "interpret")
     diff = np.abs(via_windowed - via_gather)
-    assert diff.max() < 1e-5, f"windowed opt-in changed the image: max {diff.max()}"
+    assert diff.max() < 1e-5, f"windowed default changed the image: max {diff.max()}"

@@ -75,6 +75,7 @@ AB_MATRIX = {
     # tonemap before ONE unswizzle+HWC relayout instead of unswizzle + .T.
     # Bit-identical (test_fused_out_is_bit_identical + the claim's
     # fout_exact); the attributed unswizzle share is 0.41 ms on bunny.
+    # MEASURED 2026-08-19: KEEP (bunny +1.7%, arch +0.5% -- sub-margin).
     "RPT_FUSED_OUT=1 (fused output relayout; FLIP = adopt)": [
         ("bunny", "bunny_fout"), ("arch", "arch_fout")],
     # Windowed texture kernel for MID atlases only (cap 65536 rows --
@@ -82,6 +83,8 @@ AB_MATRIX = {
     # retired BIG-atlas routing: r4's texprobe proved the kernel exact and
     # wedge-free on this very atlas (max_diff 0.0), so the r4 exactness
     # gate is already satisfied; this entry is purely the speed verdict.
+    # MEASURED 2026-08-19: FLIP (+5.4%) -- WINDOWED_MID_CAP=65536 is now
+    # the default routing for mid atlases.
     "windowed texture MID cap 65536 (FLIP = adopt for cube-size atlases)": [
         ("cube", "cube_windowed")],
 }
@@ -135,7 +138,12 @@ def decide(art: dict) -> list[dict]:
             verdict = "NO DATA"
         else:
             verdict = "FLIP"
-        if knob.startswith("windowed") and verdict == "FLIP" and not tex_exact:
+        # Only the BIG-atlas windowed entry demands a same-artifact
+        # texprobe: the MID entry's exactness proof is the LANDED r4
+        # texprobe on cube.txt's own atlas (ROUND4_ONECLAIM.json
+        # max_diff 0.0) plus the CI end-to-end equality test.
+        if (knob.startswith("windowed texture (") and verdict == "FLIP"
+                and not tex_exact):
             verdict = "KEEP (texprobe not exact/absent)"
         out.append({"knob": knob, "verdict": verdict, "rows": rows})
     return out

@@ -142,6 +142,12 @@ def main() -> None:
     step("bunny_notex", 150, lambda: frametime("bunny"))
     step("arch_notex", 150, lambda: frametime("arch"))
     step("cubes_notex", 150, lambda: frametime("cubes"))
+    diag("nofetch")
+    # address math LIVE, fetch dropped: (nofetch - notex) = address share,
+    # (base - nofetch) = fetch share. Round-5 context: the channel-split
+    # kernel did NOT move bunny (ROUND5_POST2.json), so the 1.62 ms bunny
+    # texture share is NOT the MXU fetch passes -- this splits it.
+    step("bunny_nofetch", 150, lambda: frametime("bunny"))
     diag("noswz")
     step("bunny_noswz", 150, lambda: frametime("bunny"))
     diag("notm")
@@ -173,6 +179,8 @@ def main() -> None:
 
     ART["shares_ms"] = {
         "bunny_texture": share("bunny", "bunny_notex"),
+        "bunny_tex_fetch": share("bunny", "bunny_nofetch"),
+        "bunny_tex_address": share("bunny_nofetch", "bunny_notex"),
         "arch_texture_gather": share("arch", "arch_notex"),
         "cubes_texture_gather": share("cubes", "cubes_notex"),
         "bunny_unswizzle": share("bunny", "bunny_noswz"),
