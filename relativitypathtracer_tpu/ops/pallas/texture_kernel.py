@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import ray_vma
 
-from ..texture_layout import tile_slot
+from ..texture_layout import tile_slot, tile_slot_fast
 
 NB = 1024  # rays per block (matches the mesh kernels' tile-major blocks)
 MAX_ROWS = 1024  # onehot (MAX_ROWS, NB) f32 = 4 MB VMEM
@@ -41,6 +41,12 @@ def _address_lanes(quads_rows, fp, width, height, uv):
     Keeping the address math out of Mosaic both shares it verbatim with the
     XLA gather path and keeps exotic ops (per-lane-variable shifts in
     tile_slot) away from the kernel compiler.
+
+    fp is (6, N) [base rx ry wb rw rh] or (9, N) with the precomputed
+    tile_params rows [sm1 ss r16] appended (the renderer selects them
+    per-object; the 9-row form skips the per-ray pow2-grid derivation and
+    integer divisions -- ~1 ms/786k rays on a v5e, ROUND5_POST.json
+    bunny_tex_address).
 
     Returns (addr_i (2, N) i32 rows [row, hi_half], addr_f (2, N) f32 rows
     [u_ratio, v_ratio])."""
@@ -57,7 +63,10 @@ def _address_lanes(quads_rows, fp, width, height, uv):
     base_quad, rx, ry, wb, rw, rh = fp[0], fp[1], fp[2], fp[3], fp[4], fp[5]
     lx = jnp.clip(x0 - rx, 0, jnp.maximum(rw - 1, 0))
     ly = jnp.clip(y0 - ry, 0, jnp.maximum(rh - 1, 0))
-    slot = tile_slot(lx, ly, wb, rh)  # Morton tiles (ops.texture_layout)
+    if fp.shape[0] >= 9:  # Morton tiles, region constants preselected
+        slot = tile_slot_fast(lx, ly, fp[6], fp[7], fp[8])
+    else:
+        slot = tile_slot(lx, ly, wb, rh)  # Morton tiles (ops.texture_layout)
     idx4 = jnp.clip((base_quad + slot) * 4, 0, quads_rows * 8 - 4)
     addr_i = jnp.stack([idx4 >> 3, ((idx4 & 7) >= 4).astype(jnp.int32)])
     addr_f = jnp.stack([u_ratio, v_ratio])
@@ -107,7 +116,8 @@ def _tex_kernel(table_ref, ai_ref, af_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def footprint_sample_small(quads, fp, width, height, uv, interpret=False):
     """quads: (Rq, 8) uint32 footprint atlas, Rq <= MAX_ROWS;
-    fp: (6, N) i32 per-ray region params; width/height: (N,) i32; uv: (2, N).
+    fp: (6|9, N) i32 per-ray region params (see _address_lanes);
+    width/height: (N,) i32; uv: (2, N).
     Returns (3, N) float RGB in [0, 1] -- same results as
     texture_sample.bilinear_sample_footprint.
     """

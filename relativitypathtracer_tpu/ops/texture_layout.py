@@ -60,6 +60,32 @@ def _minimum(a, b):
     return a * le + b * (1 - le)
 
 
+def tile_params(wb, rh):
+    """Region-derived addressing constants (sm1, ss, r16) for
+    tile_slot_fast. They depend only on the REGION shape, so hot samplers
+    hoist them to per-object scale (one row each in the renderer's fused
+    attribute select) instead of re-deriving the pow2 grid per ray: the
+    per-lane `_next_pow2` chains and the variable integer division --
+    expensive on the TPU VPU -- drop out of the per-ray path entirely.
+    r16 = 65536 // s is the exact multiply-shift reciprocal of the pow2
+    Morton core size s (tile counts <= 256 so tx * r16 < 2^24)."""
+    wb2, hb2 = region_tile_grid(wb, rh)
+    s = _minimum(wb2, hb2)
+    return s - 1, s * s, 65536 // s
+
+
+def tile_slot_fast(lx, ly, sm1, ss, r16):
+    """tile_slot with the region constants precomputed (tile_params).
+    Division-free and _next_pow2-free: tx // s == (tx * r16) >> 16 exactly
+    for 0 <= tx <= 255 and pow2 s."""
+    tx = lx >> 4
+    ty = ly >> 4
+    m = _interleave8(tx & sm1) | (_interleave8(ty & sm1) << 1)
+    extra = ((tx * r16) >> 16) | ((ty * r16) >> 16)  # longer axis' high bits
+    tile = extra * ss + m
+    return tile * 256 + (ly & 15) * 16 + (lx & 15)
+
+
 def tile_slot(lx, ly, wb, rh):
     """Footprint-quad slot of region-local texel (lx, ly): Morton tile index
     (square pow2 core, extra high bits of the longer axis appended above)
@@ -67,17 +93,11 @@ def tile_slot(lx, ly, wb, rh):
 
     NO per-lane-variable-amount shifts anywhere: TPU vector units have no
     such instruction and the lowering (observed in both the XLA and Mosaic
-    compilers) can wedge; the high bits are extracted with an integer
-    division by the (power-of-two) core size instead."""
-    tx = lx >> 4
-    ty = ly >> 4
-    wb2, hb2 = region_tile_grid(wb, rh)
-    s = _minimum(wb2, hb2)
-    sm1 = s - 1
-    m = _interleave8(tx & sm1) | (_interleave8(ty & sm1) << 1)
-    extra = (tx // s) | (ty // s)  # only the longer axis has high bits
-    tile = extra * (s * s) + m
-    return tile * 256 + (ly & 15) * 16 + (lx & 15)
+    compilers) can wedge; the high bits are extracted with an exact
+    multiply-shift by the reciprocal of the (power-of-two) core size
+    (tile_slot_fast). Samplers on the hot path precompute tile_params per
+    OBJECT instead of calling this per ray."""
+    return tile_slot_fast(lx, ly, *tile_params(wb, rh))
 
 
 def region_quads(wb, rh):

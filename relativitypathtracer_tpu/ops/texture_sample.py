@@ -68,7 +68,9 @@ def bilinear_sample_footprint(quads, fp, width, height, uv):
     _footprint_atlas), vs ~2.6ms per separate 786k-ray tap.
 
     quads: (Rq, 8) uint32 (4 consecutive u32 per (x0, y0) footprint);
-    fp: (6, N) int32 per-pixel region params [base rx ry wb rw rh];
+    fp: (6, N) int32 per-pixel region params [base rx ry wb rw rh], or
+    (9, N) with precomputed tile_params rows [sm1 ss r16] appended (skips
+    the per-ray pow2-grid math and integer division);
     width/height: (N,) int32; uv: (2, N). Returns (3, N) float RGB in [0, 1].
     """
     w = width
@@ -91,9 +93,12 @@ def bilinear_sample_footprint(quads, fp, width, height, uv):
     ly = jnp.clip(y0 - ry, 0, jnp.maximum(rh - 1, 0))
     # Morton-tiled slot (ops.texture_layout): shared with the builder and
     # the Pallas texture kernels.
-    from .texture_layout import tile_slot
+    from .texture_layout import tile_slot, tile_slot_fast
 
-    slot = tile_slot(lx, ly, wb, rh)
+    if fp.shape[0] >= 9:
+        slot = tile_slot_fast(lx, ly, fp[6], fp[7], fp[8])
+    else:
+        slot = tile_slot(lx, ly, wb, rh)
     idx4 = jnp.clip((base_quad + slot) * 4, 0, quads.shape[0] * 8 - 4)
     rows = jnp.take(quads, idx4 >> 3, axis=0)  # (N, 8)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (n, 8), 1)

@@ -62,6 +62,18 @@ def _analytic_direct_max() -> int:
     return int(v) if v else 0
 
 
+def _texaddr_fast() -> bool:
+    """RPT_TEXADDR_FAST (trace-time): widen the fused attribute select with
+    the per-object tile_params rows [sm1 ss r16] so the texture samplers
+    take the division-free 9-row addressing path (ops.texture_layout.
+    tile_slot_fast). Bit-exact vs the 6-row form
+    (test_sampler_9row_fp_matches_6row); targets the ~1.07 ms/786k-ray
+    address share ROUND5_POST.json measured on bunny (and the same math in
+    the arch/cubes gather scenes). Default OFF until the on-chip A/B lands
+    (house rule: new perf knobs are measured before they flip)."""
+    return os.environ.get("RPT_TEXADDR_FAST", "0").strip() not in ("", "0")
+
+
 def _post_diag() -> str:
     """RPT_POST_DIAG (trace-time, DIAGNOSTIC ONLY -- renders a WRONG image):
     full-frame differential attribution of the post-intersect pipeline.
@@ -323,6 +335,20 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
     int_tables = [objects.tex_offset, objects.tex_w, objects.tex_h]
     if meta.use_footprint_tex:
         int_tables += [scene.tex_fp[:, k] for k in range(6)]
+        if _texaddr_fast():
+            # Region-derived Morton addressing constants [sm1 ss r16]:
+            # selecting them per-object here (3 more rows of the same
+            # matmul) lets the samplers skip the per-ray pow2-grid
+            # derivation + integer division -- the address math is ~1.07 ms
+            # of the 1.17 ms bunny texture share (ROUND5_POST.json
+            # bunny_tex_address) and runs in the arch/cubes gather scenes
+            # too. All values <= 65536, exact in the HIGHEST-precision
+            # select; bit-exact vs the 6-row form
+            # (test_sampler_9row_fp_matches_6row).
+            from .ops.texture_layout import tile_params
+
+            int_tables += list(
+                tile_params(scene.tex_fp[:, 3], scene.tex_fp[:, 5]))
     tbl = jnp.stack([jnp.asarray(c, jnp.float32) for c in int_tables])
     # Pin HIGHEST locally (not just via the renderer's ambient context): a
     # DEFAULT bf16 pass would silently truncate indices > 256 -- wrong
@@ -344,7 +370,7 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
         # proof that the addresses are non-negative) and adds exactly 0.0.
         from .ops.pallas.texture_kernel import _address_lanes
 
-        fp = sel[3:9]
+        fp = sel[3:]
         ai, af = _address_lanes(scene.tex_quads.shape[0], fp, tex_w, tex_h,
                                 uv)
         keep = (jnp.minimum(af[0] * 1e-30, 0.0)
@@ -354,7 +380,7 @@ def shade(scene: Scene, meta: SceneMeta, L, inv_L, stat_cam, dirs, interval: int
         from .ops.pallas.texture_kernel import (
             footprint_sample_small, footprint_sample_windowed, texture_route)
 
-        fp = sel[3:9]  # (6, N)
+        fp = sel[3:]  # (6 or 9, N): region params [+ tile_params rows]
         use_p, interp = _resolve_pallas(None)
         route = texture_route(scene.tex_quads.shape[0], use_p)
         if route == "small":

@@ -516,6 +516,41 @@ def test_interpret_small_texture_kernel_exact():
     assert np.abs(ref - got).max() < 1e-5
 
 
+@pytest.mark.fast
+def test_sampler_9row_fp_matches_6row():
+    """The renderer passes fp widened with precomputed tile_params rows
+    [sm1 ss r16] (the per-object form of the Morton grid constants); both
+    the XLA gather and the small kernel must produce BIT-identical results
+    to the self-derived 6-row form."""
+    import jax.numpy as jnp
+
+    from relativitypathtracer_tpu.ops.pallas.texture_kernel import (
+        footprint_sample_small)
+    from relativitypathtracer_tpu.ops.texture_layout import tile_params
+    from relativitypathtracer_tpu.ops.texture_sample import (
+        bilinear_sample_footprint)
+
+    rng = np.random.default_rng(11)
+    n = 2048
+    w, h = 48, 224  # non-square: pow2 grid has longer-axis high bits
+    wb = w // 16
+    rows = (wb * (-(-h // 16)) * 4 // 8) * 256
+    quads = jnp.asarray(rng.integers(0, 2 ** 24, (rows, 8), dtype=np.uint32))
+    fp6 = np.broadcast_to(np.array([0, 0, 0, wb, w, h], np.int32)[:, None],
+                          (6, n))
+    sm1, ss, r16 = tile_params(np.int64(wb), np.int64(h))
+    fp9 = np.concatenate([fp6, np.broadcast_to(
+        np.array([sm1, ss, r16], np.int32)[:, None], (3, n))])
+    wa = jnp.full((n,), w, jnp.int32)
+    ha = jnp.full((n,), h, jnp.int32)
+    uv = jnp.asarray(rng.random((2, n)).astype(np.float32))
+    for fn, kw in ((bilinear_sample_footprint, {}),
+                   (footprint_sample_small, {"interpret": True})):
+        a = np.asarray(fn(quads, jnp.asarray(fp6), wa, ha, uv, **kw))
+        b = np.asarray(fn(quads, jnp.asarray(fp9), wa, ha, uv, **kw))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_live_objects_culling_is_conservative():
     """Property: an object whose jnp-path intersection reports ANY hit in a
     block must appear in that block's live list (the conservative cone

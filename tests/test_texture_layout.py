@@ -8,7 +8,8 @@ tests pin the algebra those consumers share.
 import numpy as np
 
 from relativitypathtracer_tpu.ops.texture_layout import (
-    region_quads, region_tile_grid, tile_slot,
+    _interleave8, _minimum, region_quads, region_tile_grid, tile_params,
+    tile_slot, tile_slot_fast,
 )
 
 
@@ -52,6 +53,44 @@ def test_morton_locality():
         slot = tile_slot(lx, ly, np.int64(wb), np.int64(rh))
         span = int(slot.max() - slot.min())
         assert span <= 16 * 1024, (ox, oy, span)  # vs ~131k for row-major
+
+
+def _slot_reference(lx, ly, wb, rh):
+    """The pre-round-5 formula with TRUE integer division: the ground truth
+    tile_params/tile_slot_fast must reproduce (the hot path replaces
+    tx // s with the exact multiply-shift (tx * (65536 // s)) >> 16)."""
+    tx = lx >> 4
+    ty = ly >> 4
+    wb2, hb2 = region_tile_grid(wb, rh)
+    s = _minimum(wb2, hb2)
+    sm1 = s - 1
+    m = _interleave8(tx & sm1) | (_interleave8(ty & sm1) << 1)
+    extra = (tx // s) | (ty // s)
+    tile = extra * (s * s) + m
+    return tile * 256 + (ly & 15) * 16 + (lx & 15)
+
+
+def test_fast_slot_matches_division_formula():
+    """tile_slot / tile_slot_fast+tile_params == the division formula for
+    every region shape class (square, wide, tall, tiny, max 4096-texel
+    axis) over the full texel grid."""
+    for rw, rh in ((1024, 1024), (224, 225), (48, 130), (3, 2), (16, 16),
+                   (1024, 64), (4096, 32), (17, 4096)):
+        wb = -(-rw // 16)
+        lx, ly = _grid(rw, rh)
+        want = _slot_reference(lx, ly, np.int64(wb), np.int64(rh))
+        got = tile_slot(lx, ly, np.int64(wb), np.int64(rh))
+        np.testing.assert_array_equal(got, want, err_msg=str((rw, rh)))
+        sm1, ss, r16 = tile_params(np.int64(wb), np.int64(rh))
+        got_fast = tile_slot_fast(lx, ly, sm1, ss, r16)
+        np.testing.assert_array_equal(got_fast, want, err_msg=str((rw, rh)))
+
+
+def test_tile_params_sentinel_rows():
+    """Untextured objects carry all-zero fp rows (models.scene); the derived
+    constants must stay benign (s = 1 grid) rather than dividing by zero."""
+    sm1, ss, r16 = tile_params(np.int64(0), np.int64(0))
+    assert (int(sm1), int(ss), int(r16)) == (0, 1, 65536)
 
 
 def test_grid_pow2():

@@ -55,6 +55,27 @@ def test_route_env_overrides(monkeypatch):
     assert tk.texture_route(tk.MAX_ROWS + 1, True) == "windowed"
 
 
+def test_texaddr_fast_end_to_end(reference_root, monkeypatch):
+    """RPT_TEXADDR_FAST=1 (9-row fp: per-object tile_params in the fused
+    attribute select, division-free per-ray addressing) must be
+    BIT-identical to the default 6-row path, through both the small VMEM
+    kernel (bunny) and the XLA gather (cube forced off the windowed
+    route)."""
+    for scene_name, force_gather in (("bunny", False), ("cube", True)):
+        host = load_scene_file(
+            str(reference_root / "Scenes" / f"{scene_name}.txt"))
+        scene, meta = build_scene(host)
+        if force_gather:
+            monkeypatch.setenv("RPT_WINDOWED_MAX_ROWS", "0")
+        base = _render(scene, meta, "interpret")
+        monkeypatch.setenv("RPT_TEXADDR_FAST", "1")
+        fast = _render(scene, meta, "interpret")
+        monkeypatch.delenv("RPT_TEXADDR_FAST")
+        if force_gather:
+            monkeypatch.delenv("RPT_WINDOWED_MAX_ROWS")
+        np.testing.assert_array_equal(base, fast, err_msg=scene_name)
+
+
 def test_windowed_mid_default_end_to_end(reference_root, monkeypatch):
     """cube.txt's mid-size (32k-row) atlas takes the windowed kernel BY
     DEFAULT since r5; forcing it back to the gather (RPT_WINDOWED_MAX_ROWS=0)

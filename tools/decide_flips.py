@@ -87,6 +87,16 @@ AB_MATRIX = {
     # the default routing for mid atlases.
     "windowed texture MID cap 65536 (FLIP = adopt for cube-size atlases)": [
         ("cube", "cube_windowed")],
+    # Division-free texture addressing (tools/round5_texaddr.py): the fused
+    # attribute select carries the per-object tile_params rows [sm1 ss r16]
+    # so the per-ray path drops the pow2-grid derivation and integer
+    # divisions (ROUND5_POST.json: 1.07 ms of bunny's 1.17 ms texture
+    # share is address math). Bit-exact in CI
+    # (test_sampler_9row_fp_matches_6row, test_texaddr_fast_end_to_end)
+    # and on-chip via the claim's texaddr_exact step.
+    "RPT_TEXADDR_FAST=1 (FLIP = adopt 9-row addressing)": [
+        ("bunny", "bunny_texaddr"), ("arch", "arch_texaddr"),
+        ("cubes", "cubes_texaddr"), ("cube", "cube_texaddr")],
 }
 
 # Pre-flip generation, frozen: these step names were produced by the
