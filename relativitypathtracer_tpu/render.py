@@ -69,9 +69,11 @@ def _texaddr_fast() -> bool:
     tile_slot_fast). Bit-exact vs the 6-row form
     (test_sampler_9row_fp_matches_6row); targets the ~1.07 ms/786k-ray
     address share ROUND5_POST.json measured on bunny (and the same math in
-    the arch/cubes gather scenes). Default OFF until the on-chip A/B lands
-    (house rule: new perf knobs are measured before they flip)."""
-    return os.environ.get("RPT_TEXADDR_FAST", "0").strip() not in ("", "0")
+    the arch/cubes gather scenes). DEFAULT ON since the measured on-chip
+    A/B (ROUND5_TEXADDR.json, 2026-08-19: bunny +6.4%, arch +4.6%, cubes
+    +8.0%, cube +7.4%, on-chip max_diff 0.0); RPT_TEXADDR_FAST=0
+    reverts."""
+    return os.environ.get("RPT_TEXADDR_FAST", "1").strip() != "0"
 
 
 def _post_diag() -> str:

@@ -56,20 +56,20 @@ def test_route_env_overrides(monkeypatch):
 
 
 def test_texaddr_fast_end_to_end(reference_root, monkeypatch):
-    """RPT_TEXADDR_FAST=1 (9-row fp: per-object tile_params in the fused
-    attribute select, division-free per-ray addressing) must be
-    BIT-identical to the default 6-row path, through both the small VMEM
-    kernel (bunny) and the XLA gather (cube forced off the windowed
-    route)."""
+    """The 9-row fp DEFAULT (per-object tile_params in the fused attribute
+    select, division-free per-ray addressing; flipped on the measured
+    ROUND5_TEXADDR.json win) must be BIT-identical to the 6-row revert
+    path (RPT_TEXADDR_FAST=0), through both the small VMEM kernel (bunny)
+    and the XLA gather (cube forced off the windowed route)."""
     for scene_name, force_gather in (("bunny", False), ("cube", True)):
         host = load_scene_file(
             str(reference_root / "Scenes" / f"{scene_name}.txt"))
         scene, meta = build_scene(host)
         if force_gather:
             monkeypatch.setenv("RPT_WINDOWED_MAX_ROWS", "0")
+        fast = _render(scene, meta, "interpret")  # default = 9-row
+        monkeypatch.setenv("RPT_TEXADDR_FAST", "0")
         base = _render(scene, meta, "interpret")
-        monkeypatch.setenv("RPT_TEXADDR_FAST", "1")
-        fast = _render(scene, meta, "interpret")
         monkeypatch.delenv("RPT_TEXADDR_FAST")
         if force_gather:
             monkeypatch.delenv("RPT_WINDOWED_MAX_ROWS")

@@ -103,7 +103,7 @@ def test_multimesh_batched_lowers_for_tpu(reference_root, real_kernels):
     {"RPT_REVCONE": "1"},
     {"RPT_FUSED_OUT": "1"},
     {"RPT_ANALYTIC_DIRECT": "99"},
-    {"RPT_TEXADDR_FAST": "1"},
+    {"RPT_TEXADDR_FAST": "0"},  # revert direction; "1" is the default
 ])
 def test_knob_combos_lower_for_tpu(env, reference_root, real_kernels,
                                    monkeypatch):

@@ -94,6 +94,10 @@ AB_MATRIX = {
     # share is address math). Bit-exact in CI
     # (test_sampler_9row_fp_matches_6row, test_texaddr_fast_end_to_end)
     # and on-chip via the claim's texaddr_exact step.
+    # MEASURED 2026-08-19: FLIP (bunny +6.4%, arch +4.6%, cubes +8.0%,
+    # cube +7.4%; texaddr_exact max_diff 0.0) -- DEFAULT ON since then;
+    # the sequence tool now forces the baseline direction explicitly so
+    # these step names keep their meaning on reruns.
     "RPT_TEXADDR_FAST=1 (FLIP = adopt 9-row addressing)": [
         ("bunny", "bunny_texaddr"), ("arch", "arch_texaddr"),
         ("cubes", "cubes_texaddr"), ("cube", "cube_texaddr")],

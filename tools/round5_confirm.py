@@ -25,7 +25,10 @@ T0 = time.time()
 W, H = (int(x) for x in
         os.environ.get("RPT_ONECLAIM_SIZE", "1024x768").lower().split("x"))
 OFFICIAL = (W, H) == (1024, 768)
-ART_PATH = (REPO if OFFICIAL else pathlib.Path("/tmp")) / "ROUND5_CONFIRM.json"
+# RPT_CONFIRM_ART renames the artifact so later confirms (e.g. the
+# texaddr-flip ROUND5_TEXADDR2.json) don't overwrite earlier evidence.
+ART_PATH = (REPO if OFFICIAL else pathlib.Path("/tmp")) / os.environ.get(
+    "RPT_CONFIRM_ART", "ROUND5_CONFIRM.json")
 ART: dict = {"budget_s": BUDGET, "steps": {}, "resolution": f"{W}x{H}",
              "complete": False,
              "incomplete_reason": "in progress / killed before finish"}

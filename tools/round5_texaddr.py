@@ -130,8 +130,11 @@ def main() -> None:
             os.environ[key] = val
         build_render_fn.cache_clear()
 
-    # Baselines at current defaults (small kernel on bunny, gather on
-    # arch/cubes, windowed MID on cube).
+    # Baselines = the 6-row (pre-flip) addressing. RPT_TEXADDR_FAST became
+    # the DEFAULT after this sequence's first landed run (ROUND5_TEXADDR.json
+    # 2026-08-19: +4.6..8.0% uniform), so the baseline direction is forced
+    # explicitly to keep the step-name semantics stable across reruns.
+    set_env("RPT_TEXADDR_FAST", "0")
     step("bunny", 150, lambda: frametime("bunny"))
     step("arch", 150, lambda: frametime("arch"))
     step("cubes", 150, lambda: frametime("cubes"))
@@ -158,7 +161,7 @@ def main() -> None:
         return {"max_diff": float(d.max())}
 
     step("texaddr_exact", 90, texaddr_exact)
-    set_env("RPT_TEXADDR_FAST", None)
+    set_env("RPT_TEXADDR_FAST", None)  # back to the (fast) default
 
     def bench_inline():
         host = load_scene_file(str(REF / "Scenes" / "bunny.txt"))
