@@ -22,4 +22,4 @@ __all__ = [
     "render_frame",
 ]
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
