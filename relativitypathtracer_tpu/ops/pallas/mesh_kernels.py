@@ -44,7 +44,17 @@ from . import ray_vma
 
 EPSILON = 1e-7
 INF = 1e20
-NB = 1024  # rays per block; VMEM budget ~6 (Tc, NB) f32 intermediates
+# Rays per mesh-kernel block; VMEM budget ~6 (Tc, NB) f32 intermediates.
+# 1024 = one 32x32 screen tile. RPT_NB=2048 fuses two adjacent tiles per
+# block (import-time, like RPT_SUB): the floor probe (ROUND5_FLOOR.json,
+# bunny all-miss floor 4.33 of 6.39 ms) shows the frame is dominated by
+# per-block fixed costs across mostly-empty blocks, so halving the block
+# count targets that directly; the tile swizzle keeps 256-lane pixel quads
+# intact at any power-of-two multiple of 1024, so sub-cone culling
+# granularity is preserved via SUB (e.g. NB=2048 + SUB=16 == today's
+# 128-lane strips). Walk lists become per-PAIR unions (conservative,
+# exact results; tie flips possible where bucket order changes).
+NB = int(os.environ.get("RPT_NB", "1024") or 1024)
 TC = 32  # shared-kernel chunk; all kernel slices are sublane-dynamic (8-aligned)
 TC_GEN = 32  # general (shadow) kernel chunk (32 measured best; 64 re-tested
 # round 3: coarser culling + 2 MXU passes/iter lost ~0.6ms on bunny)

@@ -77,7 +77,7 @@ def test_ab_matrix_names_exist_in_sequence():
         for t in ("round4_one_claim.py", "round4_followup.py",
                   "round5_claim.py", "round5_followup.py",
                   "round5_levers.py", "round5_post2.py",
-                  "round5_texaddr.py")
+                  "round5_texaddr.py", "round5_nb.py")
         if (repo / "tools" / t).exists())
     for pairs in decide_flips.AB_MATRIX.values():
         for base, ab in pairs:

@@ -362,6 +362,65 @@ def test_order2_matches_jnp(s2, pair, monkeypatch, reference_root):
         clear_kernel_caches()
 
 
+@pytest.mark.parametrize("sub", [8, 16])
+def test_nb2048_matches_jnp(sub, monkeypatch, reference_root):
+    """RPT_NB=2048 (two screen tiles per mesh-kernel block -- the floor
+    probe's per-block-overhead lever) only changes block grouping and
+    therefore cull/list granularity, never results: kernel-level equality
+    on random soup for BOTH kernels and a full shadows.txt frame. sub=16
+    keeps today's 128-lane sub-cone strips at the doubled block; sub=8 is
+    the coarser 256-lane quad variant."""
+    from relativitypathtracer_tpu.ops.pallas import mesh_kernels
+
+    monkeypatch.setattr(mesh_kernels, "NB", 2048)
+    monkeypatch.setattr(mesh_kernels, "SUB", sub)
+    clear_kernel_caches()
+    try:
+        rng = np.random.default_rng(13)
+        mesh = _soup_mesh(rng, 300)
+        m4 = np.eye(4, dtype=np.float32)
+        o3 = np.array([0.0, 0.0, -6.0], np.float32)
+        # 3 blocks at NB=2048 with a ragged tail (5000 % 2048 != 0)
+        d = rng.normal(size=(3, 5000)).astype(np.float32)
+        d[2] = np.abs(d[2]) + 0.5
+        d /= np.linalg.norm(d, axis=0)
+        t0, n0, _uv0, v0 = mesh_intersect.mesh_intersect_shared(
+            mesh, (0, 300), m4, m4, o3, d, use_pallas=False)
+        t1, n1, _uv1, v1 = mesh_intersect.mesh_intersect_shared(
+            mesh, (0, 300), m4, m4, o3, d, use_pallas="interpret")
+        assert np.array_equal(np.asarray(v0), np.asarray(v1))
+        hit = np.asarray(v0)
+        assert hit.any(), "soup aimed-at rays produced zero hits (vacuous)"
+        assert np.allclose(np.asarray(t0)[hit], np.asarray(t1)[hit],
+                           rtol=1e-5, atol=1e-6)
+
+        n = 3000
+        o = rng.uniform(-4, 4, (3, n)).astype(np.float32)
+        dg = rng.normal(size=(3, n)).astype(np.float32)
+        dg /= np.linalg.norm(dg, axis=0)
+        tmax = rng.uniform(0.5, 8.0, (n,)).astype(np.float32)
+        tmax[: n // 8] = 0.0  # masked-irrelevant lanes
+        t_true = np.asarray(mesh_intersect.mesh_min_t_general(
+            mesh, (0, 300), m4, m4, o, dg, use_pallas=False))
+        t_k = np.asarray(mesh_intersect.mesh_min_t_general(
+            mesh, (0, 300), m4, m4, o, dg, use_pallas="interpret", tmax=tmax))
+        inside = t_true < tmax
+        assert inside.any(), "no hit landed inside its bound (vacuous)"
+        assert np.allclose(t_k[inside], t_true[inside], rtol=1e-5, atol=1e-6)
+        assert np.all(t_k[~inside] >= tmax[~inside] * (1 - 1e-6))
+
+        if sub == 16:  # one full frame covers the render plumbing
+            host = load_scene_file(str(reference_root / "Scenes" / "shadows.txt"))
+            scene, meta = build_scene(host)
+            ref = _render(scene, meta, False)
+            got = _render(scene, meta, "interpret")
+            diff = np.abs(ref - got)
+            assert diff.mean() < 1e-4
+            assert float(np.mean(diff.max(-1) > 1e-3)) <= 0.002
+    finally:
+        clear_kernel_caches()
+
+
 def test_order2_rejects_bad_granularity(monkeypatch):
     """S must divide 32 (bitmask-word tail-padding soundness): anything else
     fails LOUDLY at trace time, not with silently-corrupt live lists."""

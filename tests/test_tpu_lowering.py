@@ -104,6 +104,8 @@ def test_multimesh_batched_lowers_for_tpu(reference_root, real_kernels):
     {"RPT_FUSED_OUT": "1"},
     {"RPT_ANALYTIC_DIRECT": "99"},
     {"RPT_TEXADDR_FAST": "0"},  # revert direction; "1" is the default
+    {"RPT_NB": "2048"},
+    {"RPT_NB": "2048", "RPT_SUB": "16"},
 ])
 def test_knob_combos_lower_for_tpu(env, reference_root, real_kernels,
                                    monkeypatch):
@@ -112,10 +114,12 @@ def test_knob_combos_lower_for_tpu(env, reference_root, real_kernels,
     relay claim to discover."""
     for k, v in env.items():
         monkeypatch.setenv(k, v)
-    if "RPT_SUB" in env:  # module constant, read at import time
-        from relativitypathtracer_tpu.ops.pallas import mesh_kernels
+    from relativitypathtracer_tpu.ops.pallas import mesh_kernels
 
+    if "RPT_SUB" in env:  # module constant, read at import time
         monkeypatch.setattr(mesh_kernels, "SUB", int(env["RPT_SUB"]))
+    if "RPT_NB" in env:  # likewise import-time
+        monkeypatch.setattr(mesh_kernels, "NB", int(env["RPT_NB"]))
     clear_kernel_caches()
     scene, meta = _scene(reference_root, "shadows")
     try:

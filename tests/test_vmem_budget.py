@@ -99,12 +99,19 @@ def test_scene_kernels_fit_vmem(name, reference_root):
     {"RPT_SUB": "4"},
     {"RPT_SUB": "16"},
     {"RPT_REVCONE": "1"},
+    {"RPT_NB": "2048"},
+    {"RPT_NB": "2048", "RPT_SUB": "16"},
 ])
 def test_knob_combo_kernels_fit_vmem(env, reference_root, monkeypatch):
-    if "RPT_SUB" in env:
-        from relativitypathtracer_tpu.ops.pallas import mesh_kernels
+    from relativitypathtracer_tpu.ops.pallas import mesh_kernels
 
+    # SUB/NB are import-time module constants (read from env once); the
+    # in-process A/B mechanism -- here and in the sequence tools -- is a
+    # setattr + kernel-cache clear.
+    if "RPT_SUB" in env:
         monkeypatch.setattr(mesh_kernels, "SUB", int(env["RPT_SUB"]))
+    if "RPT_NB" in env:
+        monkeypatch.setattr(mesh_kernels, "NB", int(env["RPT_NB"]))
     assert_vmem_budget(_lowered(reference_root, "shadows", env, monkeypatch))
 
 

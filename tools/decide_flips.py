@@ -101,6 +101,18 @@ AB_MATRIX = {
     "RPT_TEXADDR_FAST=1 (FLIP = adopt 9-row addressing)": [
         ("bunny", "bunny_texaddr"), ("arch", "arch_texaddr"),
         ("cubes", "cubes_texaddr"), ("cube", "cube_texaddr")],
+    # Doubled mesh-kernel blocks (tools/round5_nb.py): the floor probe
+    # (ROUND5_FLOOR.json, bunny all-miss floor 4.33 of 6.39 ms) points at
+    # per-block fixed costs; NB=2048 halves the block count of the two
+    # mesh kernels + both list builds. Two variants: SUB=8 keeps the cull
+    # pass cheap (256-lane quad sub-cones), SUB=16 keeps today's 128-lane
+    # strip granularity. Exactness gate: nb_exact frac_gt_1e3 ~ 0 (tie
+    # flips allowed; CI pins grouping-independence).
+    "RPT_NB=2048 + SUB=8 (FLIP = adopt doubled blocks)": [
+        ("bunny", "bunny_nb2048"), ("shadows", "shadows_nb2048")],
+    "RPT_NB=2048 + SUB=16 (FLIP = adopt doubled blocks, strip subs)": [
+        ("bunny", "bunny_nb2048_sub16"),
+        ("shadows", "shadows_nb2048_sub16")],
 }
 
 # Pre-flip generation, frozen: these step names were produced by the
